@@ -1,0 +1,471 @@
+"""Engine state, shared object system, and the public interface.
+
+Maps the reference's A2_state / A2_sharedstate / A2_interface model
+(src/audiality2.c, src/internals.h:608-714) onto Python objects:
+
+  * SharedState: handle manager, banks, waves, programs, registered
+    units — shared between a master state and its substates
+    (audiality2.c:620-681).
+  * State: one render context (sample rate, voice tree, master bus).
+  * Interface: the user-facing API + the compiler host.
+
+The root bank is always handle 0 and contains the built-in waves, the
+22 core units, and the built-in programs (a2_rootdriver[_mono],
+a2_groupdriver, a2_terminator — audiality2.c:266-306).
+"""
+
+import math
+import os
+
+from ..constants import (
+    A2_DEFAULT_NOISESEED, A2_DEFAULT_RANDSEED, A2_MIDDLEC, A2ObjType,
+    SampleFormat, WaveType,
+)
+from ..errors import A2Error, A2Exception
+from ..fixmath import NoiseState, f2p, to_f16
+from ..objects.banks import A2String, Bank, Constant
+from ..objects.handles import A2_APIOWNED, A2_LOCKED, HandleManager
+from ..objects.waves import Wave, builtin_waves, normalize_gain, upload_wave
+from ..units.descriptors import CORE_UNITS
+
+A2_ROOTBANK = 0
+
+# Builtin programs (behavioral contract from audiality2.c:266-306;
+# the script text below matches the reference's builtin bank source).
+_BUILTIN_PROGRAMS = """\
+export def square pulse50
+
+export a2_rootdriver()
+{
+	struct {
+		inline 0 *
+		panmix * *
+		xinsert * >
+	}
+	2(V) { vol V; ramp vol 100 }
+	3(PX PY PZ) { pan PX; ramp pan 100 }
+}
+
+export a2_rootdriver_mono()
+{
+	struct {
+		inline 0 2
+		panmix 2 1
+		xinsert 1 >
+	}
+	2(V) { vol V; ramp vol 100 }
+	3(PX PY PZ) { pan PX; ramp pan 100 }
+}
+
+export a2_groupdriver()
+{
+	struct {
+		inline 0 *
+		panmix * *
+		xinsert * >
+	}
+	2(V) { vol V; ramp vol 100 }
+	3(PX PY PZ) { pan PX; ramp pan 100 }
+}
+
+export a2_terminator() {}
+"""
+
+
+class Config:
+    def __init__(self, samplerate=48000, buffer=1024, channels=2, flags=0):
+        self.samplerate = samplerate
+        self.buffer = buffer
+        self.channels = channels
+        self.flags = flags
+        # basepitch: middle C pitch in 1.0/octave relative to the output
+        # sample rate (audiality2.c:397-399), reproduced with the same
+        # float32 arithmetic:
+        #   (int)(log2f(A2_MIDDLEC / samplerate) * 65536.0f + 0.5f)
+        import numpy as np
+        x32 = np.float32(np.float32(A2_MIDDLEC) / np.float32(samplerate))
+        l = np.float32(math.log2(float(x32)))
+        self.basepitch = int(np.float32(l * np.float32(65536.0)
+                                        + np.float32(0.5)))
+
+
+class SharedState:
+    """Objects shared between a master state and substates."""
+
+    def __init__(self):
+        self.hm = HandleManager()
+        self.offlinebuffer = 256
+        self.silencelevel = 256
+        self.silencewindow = 256
+        self.silencegrace = 1024
+        self.tabsize = 8
+        self.units = list(CORE_UNITS)
+        self.terminator = None        # Program
+        self.groupdriver = None       # handle
+        self.load_cache = {}          # name -> bank handle
+
+        for t, n in [(A2ObjType.BANK, "bank"), (A2ObjType.WAVE, "wave"),
+                     (A2ObjType.PROGRAM, "program"),
+                     (A2ObjType.UNIT, "unit"),
+                     (A2ObjType.CONSTANT, "constant"),
+                     (A2ObjType.STRING, "string"),
+                     (A2ObjType.STREAM, "stream"),
+                     (A2ObjType.XICLIENT, "xinsert client"),
+                     (A2ObjType.DETACHED, "detached handle"),
+                     (A2ObjType.NEWVOICE, "new voice"),
+                     (A2ObjType.VOICE, "voice")]:
+            self.hm.register_type(t, n)
+
+
+class State:
+    """One engine context: drives a voice tree at a sample rate."""
+
+    def __init__(self, config=None, parent=None):
+        from . import core as _core
+        self.config = config or Config()
+        self.parent = parent
+        self.substates = []
+        if parent is not None:
+            self.ss = parent.ss
+        else:
+            self.ss = SharedState()
+        self.samplerate = self.config.samplerate
+        # One ms in sample frames (16:16) — interface.c msdur
+        self.msdur = int(self.config.samplerate * 65.536 + 0.5)
+        self.randstate = NoiseState(A2_DEFAULT_RANDSEED)
+        self.noisestate = NoiseState(A2_DEFAULT_NOISESEED)
+        self.now_fragstart = 0        # 24:8 frames
+        self.now_frames = 0
+        self.last_rt_error = None
+        self.core = _core.Core(self)
+        self.interface = Interface(self)
+
+        if parent is None:
+            self._open_shared()
+        self.core.init_root_voice()
+
+    # ----- bring-up -----
+
+    def _open_shared(self):
+        ss = self.ss
+        i = self.interface
+        # Root bank MUST get handle 0
+        h = i.new_bank("root", locked=True)
+        assert h == A2_ROOTBANK
+        bank = ss.hm.get(h).data
+        # Built-in waves
+        for name, w in builtin_waves():
+            wh = ss.hm.new(w, A2ObjType.WAVE, A2_LOCKED)
+            bank.exports[name] = wh
+        # Units
+        for idx, ud in enumerate(ss.units):
+            uh = ss.hm.new(idx, A2ObjType.UNIT, A2_LOCKED)
+            bank.exports[ud.name] = uh
+        # Built-in programs
+        i.load_string(_BUILTIN_PROGRAMS, "rootbank", target=A2_ROOTBANK)
+        self.ss.terminator = i.get_program_obj(
+            i.get(A2_ROOTBANK, "a2_terminator"))
+        self.ss.groupdriver = i.get(A2_ROOTBANK, "a2_groupdriver")
+
+    def substate(self, config=None):
+        st = State(config or Config(samplerate=self.config.samplerate,
+                                    buffer=self.config.buffer,
+                                    channels=self.config.channels),
+                   parent=self if self.parent is None else self.parent)
+        (self if self.parent is None else self.parent).substates.append(st)
+        return st
+
+    def close(self):
+        if self.parent is not None:
+            self.parent.substates.remove(self)
+
+
+class Interface:
+    """Public API facade + compiler host (A2_interface equivalent)."""
+
+    def __init__(self, state: State):
+        self.state = state
+        self.timestamp = 0        # 24:8 frames, for timestamped API
+
+    # ===== compiler host protocol =====
+
+    def root_bank_handle(self):
+        return A2_ROOTBANK
+
+    def unit_descs(self):
+        return self.state.ss.units
+
+    def unit_index(self, handle):
+        hi = self.state.ss.hm.require(handle, A2ObjType.UNIT)
+        return hi.data
+
+    def new_program(self, program):
+        return self.state.ss.hm.new(program, A2ObjType.PROGRAM)
+
+    def get_program(self, handle):
+        hi = self.state.ss.hm.get(handle)
+        if hi is None or hi.typecode != A2ObjType.PROGRAM:
+            return None
+        return hi.data
+
+    def get_program_obj(self, handle):
+        return self.get_program(handle)
+
+    def typeof(self, handle):
+        hi = self.state.ss.hm.get(handle)
+        return None if hi is None else hi.typecode
+
+    def value_of(self, handle):
+        hi = self.state.ss.hm.require(handle, A2ObjType.CONSTANT)
+        return hi.data.value
+
+    def string_of(self, handle):
+        hi = self.state.ss.hm.require(handle, A2ObjType.STRING)
+        return hi.data.value
+
+    def new_string(self, s):
+        return self.state.ss.hm.new(A2String(s), A2ObjType.STRING)
+
+    def new_constant(self, v):
+        return self.state.ss.hm.new(Constant(v), A2ObjType.CONSTANT)
+
+    def bank_of(self, handle):
+        hi = self.state.ss.hm.get(handle)
+        if hi is None or hi.typecode != A2ObjType.BANK:
+            return None
+        return hi.data
+
+    def bank_get(self, bank_handle, name):
+        b = self.bank_of(bank_handle)
+        if b is None:
+            return None
+        return b.find(name)
+
+    def retain(self, handle):
+        return self.state.ss.hm.retain(handle)
+
+    def release(self, handle):
+        return self.state.ss.hm.release(handle)
+
+    def render_wave(self, wtype, period, flags, samplerate, length,
+                    randseed, noiseseed, program, argv):
+        """Compile-time/offline wave rendering (a2_RenderWave,
+        render.c:144-177): render 'program' in an offline substate and
+        upload the result into a new wave."""
+        from .render import render_program
+        if not period:
+            period = int(samplerate / A2_MIDDLEC)
+        props = {"randseed": randseed, "noiseseed": noiseseed}
+        data = render_program(self.state, program, argv,
+                              samplerate=samplerate, length=length,
+                              props=props)
+        w = upload_wave(wtype, period, flags, SampleFormat.I24, data)
+        return self.state.ss.hm.new(w, A2ObjType.WAVE)
+
+    # ===== banks / loading =====
+
+    def new_bank(self, name, locked=False):
+        b = Bank(name)
+        return self.state.ss.hm.new(b, A2ObjType.BANK,
+                                    A2_LOCKED if locked else A2_APIOWNED)
+
+    def load(self, path, flags=0):
+        """a2_Load: compile a .a2s file into a new bank (with the
+        shared-bank name cache, bank.c:181-230).  If the filename has
+        no extension, ".a2s" is appended (bank.c:187-194)."""
+        if "." not in os.path.basename(path):
+            path = path + ".a2s"
+        cached = self.state.ss.load_cache.get(path)
+        if cached is not None:
+            self.retain(cached)
+            return cached
+        h = self.new_bank(path)
+        from ..a2s.compiler import Compiler
+        c = Compiler(self)
+        c.compile_file(h, path)
+        self.state.ss.load_cache[path] = h
+        return h
+
+    def load_string(self, code, source_name="string", target=None):
+        """a2_LoadString: compile source into a new bank (or 'target')."""
+        from ..a2s.compiler import Compiler
+        if target is None:
+            target = self.new_bank(source_name)
+        c = Compiler(self)
+        c.compile_string(target, code, source_name)
+        return target
+
+    def get(self, bank_handle, path):
+        """a2_Get: look up "name" or "bank/name" (bank.c:348-390)."""
+        parts = path.split("/")
+        h = bank_handle
+        for p in parts:
+            b = self.bank_of(h)
+            if b is None:
+                raise A2Exception(A2Error.NOTFOUND, path)
+            nh = b.find(p)
+            if nh is None:
+                raise A2Exception(A2Error.NOTFOUND, path)
+            h = nh
+        return h
+
+    def try_get(self, bank_handle, path):
+        try:
+            return self.get(bank_handle, path)
+        except A2Exception:
+            return None
+
+    def export(self, bank_handle, handle, name=None):
+        """a2_Export: add object to a bank's export table."""
+        b = self.bank_of(bank_handle)
+        if b is None:
+            raise A2Exception(A2Error.BADBANK)
+        if name is None:
+            obj = self.state.ss.hm.get(handle)
+            name = getattr(obj.data, "name", None)
+            if name is None:
+                raise A2Exception(A2Error.NONAME)
+        b.exports[name] = handle
+        self.retain(handle)
+        return A2Error.OK
+
+    # ===== waves =====
+
+    def upload_wave(self, wtype, period, flags, fmt, data):
+        w = upload_wave(wtype, period, flags, fmt, data)
+        return self.state.ss.hm.new(w, A2ObjType.WAVE, A2_APIOWNED)
+
+    def new_wave(self, wtype, period, flags):
+        w = Wave(wtype, period, flags)
+        return self.state.ss.hm.new(w, A2ObjType.WAVE, A2_APIOWNED)
+
+    def get_wave(self, handle):
+        hi = self.state.ss.hm.get(handle)
+        if hi is None or hi.typecode != A2ObjType.WAVE:
+            return None
+        return hi.data
+
+    # ===== voice control (timestamped realtime-ish API) =====
+
+    def root_voice(self):
+        return self.state.core.rootvoice_handle
+
+    def timestamp_reset(self):
+        self.timestamp = self.state.now_frames
+        return self.timestamp
+
+    def timestamp_bump(self, dt_f8):
+        self.timestamp += dt_f8
+        return self.timestamp
+
+    def new_group(self, parent=None):
+        """a2_NewGroup: start a groupdriver voice (for mixer groups)."""
+        if parent is None:
+            parent = self.root_voice()
+        return self.start(parent, self.state.ss.groupdriver)
+
+    def start(self, parent_voice, program, *args):
+        """a2_Start: start program on a new attached, handle-addressable
+        voice; args are floats (converted to 16:16)."""
+        iargs = [to_f16(a) for a in args]
+        return self.starta(parent_voice, program, iargs)
+
+    def starta(self, parent_voice, program, iargs):
+        return self.state.core.api_start(parent_voice, program, iargs,
+                                         self.timestamp)
+
+    def play(self, parent_voice, program, *args):
+        """a2_Play: start a detached voice (fire and forget)."""
+        iargs = [to_f16(a) for a in args]
+        return self.playa(parent_voice, program, iargs)
+
+    def playa(self, parent_voice, program, iargs):
+        return self.state.core.api_play(parent_voice, program, iargs,
+                                        self.timestamp)
+
+    def send(self, voice, ep, *args):
+        iargs = [to_f16(a) for a in args]
+        return self.senda(voice, ep, iargs)
+
+    def senda(self, voice, ep, iargs):
+        return self.state.core.api_send(voice, ep, iargs, self.timestamp)
+
+    def sendsub(self, voice, ep, *args):
+        iargs = [to_f16(a) for a in args]
+        return self.state.core.api_sendsub(voice, ep, iargs,
+                                           self.timestamp)
+
+    def kill(self, voice):
+        return self.state.core.api_kill(voice, self.timestamp)
+
+    def killsub(self, voice):
+        return self.state.core.api_killsub(voice, self.timestamp)
+
+    def detach(self, voice):
+        return self.state.core.api_detach(voice, self.timestamp)
+
+    def release(self, handle):
+        hi = self.state.ss.hm.get(handle)
+        if hi is not None and hi.typecode == A2ObjType.VOICE:
+            return self.state.core.api_release_voice(handle,
+                                                     self.timestamp)
+        if hi is not None and hi.typecode == A2ObjType.NEWVOICE:
+            return self.state.core.api_release_voice(handle,
+                                                     self.timestamp)
+        return self.state.ss.hm.release(handle)
+
+    # ===== running =====
+
+    def run(self, frames):
+        """a2_Run: drive the engine for 'frames' sample frames
+        (offline/buffer operation)."""
+        return self.state.core.run(frames)
+
+    def sink_callback(self, callback):
+        """a2_SinkCallback equivalent on the master output: callback
+        receives (list of np.int32 buffers, frames)."""
+        self.state.core.sinks.append(callback)
+        return len(self.state.core.sinks)
+
+    # ===== properties (a2_properties.h) =====
+
+    def get_state_property(self, name):
+        st = self.state
+        props = {
+            "samplerate": st.config.samplerate,
+            "buffer": st.config.buffer,
+            "channels": st.config.channels,
+            "activevoices": st.core.activevoices,
+            "totalvoices": st.core.totalvoices,
+            "offlinebuffer": st.ss.offlinebuffer,
+            "silencelevel": st.ss.silencelevel,
+            "silencewindow": st.ss.silencewindow,
+            "silencegrace": st.ss.silencegrace,
+            "randseed": st.randstate.state,
+            "noiseseed": st.noisestate.state,
+            "tabsize": st.ss.tabsize,
+            "instructions": st.core.instructions,
+        }
+        if name not in props:
+            raise A2Exception(A2Error.NOTFOUND, name)
+        return props[name]
+
+    def set_state_property(self, name, value):
+        st = self.state
+        if name == "randseed":
+            st.randstate.state = value & 0xFFFFFFFF
+        elif name == "noiseseed":
+            st.noisestate.state = value & 0xFFFFFFFF
+        elif name in ("offlinebuffer", "silencelevel", "silencewindow",
+                      "silencegrace", "tabsize"):
+            setattr(st.ss, name, value)
+        else:
+            raise A2Exception(A2Error.NOTFOUND, name)
+        return A2Error.OK
+
+
+def open_engine(samplerate=48000, buffer=1024, channels=2, flags=0):
+    """a2_Open equivalent: create a master state, returning its
+    interface."""
+    st = State(Config(samplerate, buffer, channels, flags))
+    return st.interface
