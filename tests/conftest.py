@@ -1,0 +1,48 @@
+import os
+import sys
+import warnings
+
+# Virtual 8-device CPU mesh for sharding tests; set before jax import.
+os.environ.setdefault("XLA_FLAGS",
+                      "--xla_force_host_platform_device_count=8")
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+warnings.filterwarnings("ignore")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+
+import numpy as np
+import pytest
+
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                          "goldens")
+BENCH_DIR = "/root/reference/benchmark"
+DATA_DIR = "/root/reference/test/data"
+
+
+def render_song(path, program="Song", seconds=2.0, samplerate=44100,
+                args=()):
+    """Render a song offline through the host engine; returns int32
+    8:24 mono samples."""
+    import audiality2_tpu as a2
+    i = a2.open_engine(samplerate, 4096, 1)
+    h = i.load(path)
+    prog = i.get(h, program)
+    out = []
+    i.sink_callback(lambda bufs, frames: out.append(np.array(bufs[0])))
+    i.timestamp_reset()
+    i.starta(i.root_voice(), prog, [int(a * 65536) for a in args])
+    n = 0
+    total = int(seconds * samplerate)
+    while n < total:
+        i.run(4096)
+        n += 4096
+    return np.concatenate(out)
+
+
+def load_golden(name, nframes=None):
+    p = os.path.join(GOLDEN_DIR, name)
+    if not os.path.exists(p):
+        pytest.skip(f"golden {name} not present")
+    d = np.fromfile(p, dtype=np.int32)
+    return d if nframes is None else d[:nframes]
