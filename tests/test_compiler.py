@@ -81,8 +81,8 @@ def test_struct_autowire_inline():
 
 def test_message_handler_eps():
     # NOTE: no code may follow a message handler (nocode rule)
-    i, h = _compile("export P() { struct { wtosc } d 10; end "
-                    "1(x) { a x } }\n")
+    i, h = _compile("export P() {\n struct { wtosc }\n d 10; end\n"
+                    " 1(x) { a x }\n}\n")
     p = i.get_program(i.get(h, "P"))
     assert p.eps[0] == 0
     assert p.eps[1] >= 1
