@@ -108,10 +108,12 @@ def test_timing_not_in_handler():
 
 
 def test_negative_literal_lexing():
-    i, h = _compile("export def A (1 -1)\nexport def B (1 - 1)\n")
-    # '-1' attached is a literal; both forms evaluate the same here
-    assert i.value_of(i.get(h, "A")) == 0.0
+    # '-1' with no space is a negative literal, so "(1 -1)" is two
+    # terms with no operator -> EXPOP error; "(1 - 1)" subtracts.
+    i, h = _compile("export def B (1 - 1)\n")
     assert i.value_of(i.get(h, "B")) == 0.0
+    with pytest.raises(A2CompileError):
+        _compile("export def A (1 -1)\n")
 
 
 def test_wave_def_renders():

@@ -57,8 +57,15 @@ def test_subsample_timing_determinism():
 def test_voice_spawn_kill():
     """voicestress analog: spawn/message/kill at high rate."""
     src = """
-Child(F) { struct { wtosc } w sine; p F; a .1; d 1000; end
-  1() { a 0; d 1; kill } }
+Child(F) {
+  struct { wtosc }
+  w sine; p F; a .1
+  d 1000
+.die
+  a 0; d 1
+  end
+  1() { force die }
+}
 export P() {
   50 {
     1:Child 0.1; 2:Child 0.3
@@ -90,7 +97,7 @@ export P() { :Sub; end }
 
 def test_vm_overload_kills_voice():
     i = _engine()
-    h = i.load_string("export P() { .x jump x }\n")
+    h = i.load_string("export P() { !v 0\n.x\n +v 1; jump x }\n")
     out, _ = _render(i, i.get(h, "P"), 0.05)
     from audiality2_tpu.errors import A2Error
     assert i.state.last_rt_error == A2Error.OVERLOAD
@@ -168,11 +175,12 @@ def test_mipmap_decimation_rule():
     data = np.zeros(16, dtype=np.int16)
     data[4] = 1000
     w = upload_wave(WaveType.MIPWAVE, 16, 0, SampleFormat.I16, data)
-    # level 1: d[k] = (2*s[2k] + s[2k-1] + s[2k+1]) >> 2
+    # level 1: d[k] = (2*s[2k] + s[2k-1] + s[2k+1]) >> 2; only k=2
+    # sees s[4] (through the 2*s[2k] term).
     lvl1 = w.data[1][1:1 + 8]
     assert lvl1[2] == (2 * 1000 + 0 + 0) >> 2
-    assert lvl1[1] == (0 + 0 + 1000) >> 2   # s[2k+1] term from s[3]? k=1
-    # (exact padding/zero behavior verified against the formula)
+    assert lvl1[1] == 0
+    assert lvl1[3] == 0
 
 
 def test_offline_render_wave():
