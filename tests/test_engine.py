@@ -77,12 +77,15 @@ export P() {
 }
 """
     i = _engine()
-    out, _ = _render(i, i.get(i.load_string(src), "P"), 0.3)
+    out, vh = _render(i, i.get(i.load_string(src), "P"), 0.3)
     assert np.abs(out).max() > 0
-    # all voices must be gone afterwards (only root + ending P remain)
+    # releasing the start handle detaches the voice; once it and its
+    # subvoices finish, everything is freed (only the root remains)
+    i.timestamp_reset()
+    i.release(vh)
     for _ in range(40):
         i.run(1024)
-    assert i.state.core.activevoices <= 2
+    assert i.state.core.activevoices == 1
 
 
 def test_detached_voice_waits_for_subvoices():
