@@ -1,0 +1,104 @@
+"""Benchmark: k2trance offline render x-realtime + TPU voice throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+Baseline (BASELINE.md): the C reference renders k2trance at ~57x
+realtime on an i9-7940X (benchmark/RESULTS:26).
+"""
+
+import json
+import sys
+import time
+import warnings
+
+warnings.filterwarnings("ignore")
+
+import numpy as np
+
+K2TRANCE = "/root/reference/benchmark/k2trance.a2s"
+BASELINE_XRT = 57.0
+
+
+def bench_k2trance(seconds=8.0, samplerate=44100):
+    """End-to-end offline render of k2trance through the engine
+    (host control plane + fastest available DSP path)."""
+    import audiality2_tpu as a2
+    i = a2.open_engine(samplerate, 4096, 1)
+    h = i.load(K2TRANCE)
+    song = i.get(h, "Song")
+    sink_frames = [0]
+    i.sink_callback(lambda bufs, frames: sink_frames.__setitem__(
+        0, sink_frames[0] + frames))
+    i.timestamp_reset()
+    i.starta(i.root_voice(), song, [])
+    total = int(seconds * samplerate)
+    t0 = time.perf_counter()
+    n = 0
+    while n < total:
+        i.run(4096)
+        n += 4096
+    dt = time.perf_counter() - t0
+    return (n / samplerate) / dt
+
+
+def bench_tpu_farm(V=512, nfrags=256, samplerate=48000):
+    """TPU voice-batched oscillator throughput: how many wtosc+panmix
+    voices can run at 48 kHz realtime on one chip."""
+    try:
+        import jax
+        from audiality2_tpu.engine.state import open_engine
+        from audiality2_tpu.fixmath import p2i
+        from audiality2_tpu.tpu import kernels as K
+        import jax.numpy as jnp
+
+        i = open_engine(samplerate, 1024, 1)
+        atlas = K.WaveAtlas()
+        w = i.get_wave(i.get(0, "saw"))
+        atlas.add_wave("saw", w)
+        data = atlas.finalize()
+        mm = 3
+        base, _ = atlas.lookup("saw", mm)
+        dph = (p2i(-492789) * w.period) >> mm
+        rng = np.random.default_rng(0)
+        dphs = (dph * (1.0 + 0.3 * rng.random(V))).astype(np.int64)
+        args = (data,
+                jnp.full(V, base, dtype=jnp.int64),
+                jnp.asarray(dphs),
+                jnp.full(V, w.size[mm] << 24, dtype=jnp.int64),
+                nfrags,
+                jnp.full(V, 1 << 22, dtype=jnp.int64),
+                jnp.zeros(V, dtype=jnp.int64),
+                jnp.full(V, 1 << 24, dtype=jnp.int64),
+                jnp.zeros(V, dtype=jnp.int64))
+        out = K.farm_render_jit(*args)          # compile
+        out.block_until_ready()
+        t0 = time.perf_counter()
+        reps = 5
+        for _ in range(reps):
+            out = K.farm_render_jit(*args)
+        out.block_until_ready()
+        dt = (time.perf_counter() - t0) / reps
+        voice_samples_per_s = V * nfrags * 64 / dt
+        return voice_samples_per_s / samplerate
+    except Exception as e:
+        print(f"# tpu farm bench failed: {e}", file=sys.stderr)
+        return None
+
+
+def main():
+    xrt = bench_k2trance()
+    voices = bench_tpu_farm()
+    result = {
+        "metric": "k2trance_offline_render",
+        "value": round(xrt, 3),
+        "unit": "x_realtime",
+        "vs_baseline": round(xrt / BASELINE_XRT, 4),
+    }
+    if voices is not None:
+        result["tpu_voices_at_48k_realtime"] = int(voices)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
