@@ -144,6 +144,34 @@ class Core:
         self.rootvoice = None
         self.rootvoice_handle = -1
         self.unit_classes = host_units.REGISTRY
+        # --- batched (record/replay) block engine state ---
+        self.batched = bool(getattr(state.config, "batched", False))
+        self.use_jax = bool(getattr(state.config, "use_jax", True))
+        self.recording = False
+        self.oplist = None               # current fragment's op list
+        self.rowbatch = None
+        self._atlas = None
+        self._atlas_entries = {}         # (id(wave), mm) -> base
+        self._atlas_added = set()
+
+    # ----- wave atlas for the row kernel -----
+
+    def atlas_base(self, wave, mm):
+        key = (id(wave), mm)
+        b = self._atlas_entries.get(key)
+        if b is None:
+            from ..tpu.row_kernel import FRAG  # noqa: F401
+            from ..tpu.kernels import WaveAtlas
+            if self._atlas is None:
+                self._atlas = WaveAtlas()
+            if id(wave) not in self._atlas_added:
+                self._atlas.add_wave(id(wave), wave)
+                self._atlas_added.add(id(wave))
+                self._atlas.finalize()
+                for (k, m), (base, size) in self._atlas._offsets.items():
+                    self._atlas_entries[(k, m)] = base
+            b = self._atlas_entries[key]
+        return b
 
     # =====================================================
     #   Voice management
@@ -251,8 +279,12 @@ class Core:
         while v.sub:
             self.voice_free(v.sub[0], v.sub, 0)
         v.sv.clear()
-        for u in v.units:
-            u.deinitialize()
+        if self.recording:
+            for u in v.units:
+                self.oplist.append(("deinit", u))
+        else:
+            for u in v.units:
+                u.deinitialize()
         v.units = []
         v.stack.clear()
         v.program = None
@@ -373,6 +405,17 @@ class Core:
         noutputs = v.noutputs
         outputs = v.outputs
         descs = st.ss.units
+
+        # Batched engine: voices shaped exactly `wtosc` or
+        # `wtosc -> panmix` use deferred (device-row) units.
+        defer_classes = None
+        if self.batched:
+            names = [descs[si.uindex].name for si in p.units]
+            if names == ["wtosc"] or names == ["wtosc", "panmix"]:
+                from ..units.deferred import DeferredPanmix, DeferredWtosc
+                defer_classes = {"wtosc": DeferredWtosc,
+                                 "panmix": DeferredPanmix}
+
         for si in p.units:
             ud = descs[si.uindex]
             # input wiring (core.c:190-208)
@@ -400,17 +443,25 @@ class Core:
                 uout = si.noutputs
             ubufs = outputs if si.noutputs == A2_IO_WIREOUT else scratch
 
-            cls = self.unit_classes.get(ud.name)
+            if defer_classes is not None:
+                cls = defer_classes[ud.name]
+            else:
+                cls = self.unit_classes.get(ud.name)
             if cls is None:
                 self.rt_error(A2Error.NOTIMPLEMENTED, f"unit {ud.name}")
                 return A2Error.VOICEINIT
             u = cls(st, ud, v, ninputs,
                     scratch[:ninputs] if ninputs else [],
                     uout, (ubufs[:uout] if uout else []))
-            # wire control registers onto VM registers
+            # wire control registers onto VM registers; effect units'
+            # writes are queued for replay in batched mode
             base = v.ncregs
+            wrap = self.batched and getattr(u, "queue_writes", False)
             for j, wcb in enumerate(u.write_callbacks()):
-                v.cregs[v.ncregs] = (u, wcb)
+                if wrap and wcb is not None:
+                    v.cregs[v.ncregs] = (u, self._make_queuing(wcb))
+                else:
+                    v.cregs[v.ncregs] = (u, wcb)
                 v.ncregs += 1
             u.regbase = base
             if (ud.flags & A2_MATCHIO) and ninputs != uout:
@@ -421,6 +472,8 @@ class Core:
                 self.rt_error(res, f"unit init {ud.name}")
                 return A2Error.VOICEINIT
             v.units.append(u)
+        if defer_classes is not None and len(v.units) == 2:
+            v.units[1].sibling = v.units[0]
         # control wires (env 'out' etc.)
         for w in p.wires:
             u = v.units[w.from_unit]
@@ -530,7 +583,19 @@ class Core:
         cp = v.cregs[reg]
         if cp is not None:
             unit, write = cp
-            write(v.r[reg], start & 255, duration)
+            if write is not None:
+                write(v.r[reg], start & 255, duration)
+
+    def _make_queuing(self, wcb):
+        """Wrap an effect unit's write callback: during recording the
+        write is queued into the op list (applied at replay, in exact
+        order relative to the unit's process slices)."""
+        def queuing(value, start, dur):
+            if self.recording:
+                self.oplist.append(("write", wcb, value, start, dur))
+            else:
+                wcb(value, start, dur)
+        return queuing
 
     def process_vm(self, v):
         st = self.state
@@ -997,10 +1062,39 @@ class Core:
                 return -res, frames
             if s + res > s_stop:
                 res = s_stop - s
-            for u in v.units:
-                u.process(s, res)
+            if self.recording:
+                for u in v.units:
+                    self._record_unit(u, s, res)
+            else:
+                for u in v.units:
+                    u.process(s, res)
             s += res
         return 0, frames
+
+    def _record_unit(self, u, offset, frames):
+        """Recording pass: generators compute now (exact RNG order);
+        deferred units emit device rows; effect units are queued."""
+        kind = getattr(u, "record_kind", "proc")
+        if kind == "defer":
+            u.process_record(self, offset, frames)
+        elif kind == "inline":
+            self.oplist.append(("clear", u, offset, frames))
+            self.process_subvoices(u.voice, offset, frames)
+        elif kind == "gen":
+            if u.noutputs:
+                temps = [np.zeros(A2_MAXFRAG, dtype=np.int32)
+                         for _ in range(u.noutputs)]
+                real = u.outputs
+                u.outputs = temps
+                try:
+                    u.process(offset, frames)
+                finally:
+                    u.outputs = real
+                self.oplist.append(("stash", u, offset, frames, temps))
+            else:
+                u.process(offset, frames)   # env: control only
+        else:
+            self.oplist.append(("proc", u, offset, frames))
 
     def process_voices(self, vlist, offset, frames):
         """Process a voice list, recursing into subvoices
@@ -1030,6 +1124,8 @@ class Core:
     def run(self, frames):
         """Drive the engine for 'frames' frames (offline operation).
         Output goes to the sink callbacks."""
+        if self.batched:
+            return self.run_batched(frames)
         st = self.state
         st.now_frames = (st.now_fragstart + (frames << 8)) & _U32
         self.pump_api_messages()
@@ -1048,6 +1144,91 @@ class Core:
             offset += frag
             remain -= frag
             st.now_fragstart = (st.now_fragstart + (frag << 8)) & _U32
+        for cb in self.sinks:
+            cb(out, frames)
+        return frames
+
+    def run_batched(self, frames):
+        """Superblock record -> device dispatch -> replay.
+
+        P1 (record): run the VM/event control plane for every fragment
+        of this buffer; generators compute inline (exact RNG order),
+        deferred oscillators emit device rows, effect units are queued.
+        P2: evaluate all rows in one batched dispatch (TPU via JAX, or
+        the numpy twin).  P3 (replay): apply writes / row audio / host
+        effects in the exact recorded order and fill the output.
+        """
+        from ..tpu.row_kernel import RowBatch
+        st = self.state
+        st.now_frames = (st.now_fragstart + (frames << 8)) & _U32
+        self.pump_api_messages()
+
+        # ---- P1: record ----
+        self.recording = True
+        self.rowbatch = RowBatch()
+        oplists = []
+        frags = []
+        remain = frames
+        while remain:
+            frag = min(remain, A2_MAXFRAG)
+            self.oplist = []
+            rootlist = [self.rootvoice]
+            self.process_voices(rootlist, 0, frag)
+            oplists.append(self.oplist)
+            frags.append(frag)
+            remain -= frag
+            st.now_fragstart = (st.now_fragstart + (frag << 8)) & _U32
+        self.recording = False
+        self.oplist = None
+
+        # ---- P2: batched row evaluation ----
+        if self.rowbatch.n:
+            rows = self.rowbatch.evaluate(self._atlas,
+                                          use_jax=self.use_jax)
+        else:
+            rows = None
+        self.rowbatch = None
+
+        # ---- P3: replay ----
+        out = [np.empty(frames, dtype=np.int32)
+               for _ in range(self.master.channels)]
+        offset = 0
+        for frag, ops in zip(frags, oplists):
+            self.master.clear(0, frag)
+            for e in ops:
+                tag = e[0]
+                if tag == "row":
+                    # row sample 0 corresponds to the slice start
+                    _, u, idx, o, f = e
+                    r = rows[idx]
+                    for ch in range(u.noutputs):
+                        u.outputs[ch][o:o + f] += \
+                            r[ch, :f].astype(np.int32)
+                elif tag == "proc":
+                    _, u, o, f = e
+                    u.process(o, f)
+                elif tag == "write":
+                    _, wcb, value, start, dur = e
+                    wcb(value, start, dur)
+                elif tag == "stash":
+                    _, u, o, f, temps = e
+                    add = bool(u.flags & 0x0001)    # A2_PROCADD
+                    for ch in range(u.noutputs):
+                        if add:
+                            u.outputs[ch][o:o + f] += temps[ch][o:o + f]
+                        else:
+                            u.outputs[ch][o:o + f] = temps[ch][o:o + f]
+                elif tag == "clear":
+                    _, u, o, f = e
+                    if not (u.flags & 0x0001):
+                        for b in u.outputs:
+                            b[o:o + f] = 0
+                elif tag == "deinit":
+                    e[1].deinitialize()
+            for c in range(self.master.channels):
+                out[c][offset:offset + frag] = \
+                    self.master.buffers[c][:frag]
+            offset += frag
         for cb in self.sinks:
             cb(out, frames)
         return frames

@@ -73,11 +73,18 @@ export a2_terminator() {}
 
 
 class Config:
-    def __init__(self, samplerate=48000, buffer=1024, channels=2, flags=0):
+    def __init__(self, samplerate=48000, buffer=1024, channels=2,
+                 flags=0, batched=True, use_jax=True):
         self.samplerate = samplerate
         self.buffer = buffer
         self.channels = channels
         self.flags = flags
+        # batched: record/replay block engine with device-batched
+        # oscillator rows (bit-exact with the interleaved engine).
+        self.batched = batched
+        # use_jax: evaluate large row batches on the TPU; small ones
+        # fall back to the numpy twin automatically.
+        self.use_jax = use_jax
         # basepitch: middle C pitch in 1.0/octave relative to the output
         # sample rate (audiality2.c:397-399), reproduced with the same
         # float32 arithmetic:
@@ -168,9 +175,16 @@ class State:
         self.ss.groupdriver = i.get(A2_ROOTBANK, "a2_groupdriver")
 
     def substate(self, config=None):
-        st = State(config or Config(samplerate=self.config.samplerate,
-                                    buffer=self.config.buffer,
-                                    channels=self.config.channels),
+        if config is None:
+            config = Config(samplerate=self.config.samplerate,
+                            buffer=self.config.buffer,
+                            channels=self.config.channels,
+                            batched=self.config.batched,
+                            use_jax=self.config.use_jax)
+        else:
+            config.batched = self.config.batched
+            config.use_jax = self.config.use_jax
+        st = State(config,
                    parent=self if self.parent is None else self.parent)
         (self if self.parent is None else self.parent).substates.append(st)
         return st
@@ -464,8 +478,10 @@ class Interface:
         return A2Error.OK
 
 
-def open_engine(samplerate=48000, buffer=1024, channels=2, flags=0):
+def open_engine(samplerate=48000, buffer=1024, channels=2, flags=0,
+                batched=True, use_jax=True):
     """a2_Open equivalent: create a master state, returning its
     interface."""
-    st = State(Config(samplerate, buffer, channels, flags))
+    st = State(Config(samplerate, buffer, channels, flags,
+                      batched=batched, use_jax=use_jax))
     return st.interface

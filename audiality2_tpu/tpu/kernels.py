@@ -49,16 +49,19 @@ FRAG = A2_MAXFRAG
 # =========================================================
 
 class WaveAtlas:
-    """All mip levels of all waves packed into one int32 device array.
+    """All mip levels of all waves packed into one int32 array.
 
     Entry (wave, mip) gives the atlas offset of d[0] (i.e. after the
-    A2_WAVEPRE pad) and the level's size."""
+    A2_WAVEPRE pad) and the level's size.  `data` is host numpy; the
+    row kernel keeps a per-version device copy (uploaded once, not per
+    dispatch)."""
 
     def __init__(self):
         self._chunks = []
-        self._offsets = {}      # (wave_key, mip) -> (base, size, looped)
+        self._offsets = {}      # (wave_key, mip) -> (base, size)
         self._pos = 0
         self.data = None
+        self.version = 0
 
     def add_wave(self, key, wave):
         for mm in range(wave.miplevels):
@@ -70,9 +73,10 @@ class WaveAtlas:
 
     def finalize(self):
         if self._chunks:
-            self.data = jnp.asarray(np.concatenate(self._chunks))
+            self.data = np.concatenate(self._chunks)
         else:
-            self.data = jnp.zeros(1, dtype=jnp.int32)
+            self.data = np.zeros(1, dtype=np.int32)
+        self.version += 1
         return self.data
 
     def lookup(self, key, mip):

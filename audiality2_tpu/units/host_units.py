@@ -35,6 +35,12 @@ class HostUnit:
     """Base class for engine-context unit instances."""
 
     is_xinsert = False
+    # batched-engine classification: "proc" units are replayed after
+    # the device dispatch (effects, need their inputs); "gen" units
+    # compute at record time (generators; preserves shared-RNG order);
+    # "inline"/"defer" are special-cased.
+    record_kind = "proc"
+    queue_writes = True
 
     def __init__(self, state, desc, voice, ninputs, inputs, noutputs,
                  outputs):
@@ -86,6 +92,9 @@ class HostUnit:
 # =========================================================
 
 class InlineUnit(HostUnit):
+    record_kind = "inline"
+    queue_writes = False
+
     def initialize(self, flags):
         self.flags = flags
         v = self.voice
@@ -141,6 +150,8 @@ def _inter_vec(d32, ph16, dph16):
 
 
 class WtoscUnit(HostUnit):
+    record_kind = "gen"
+    queue_writes = False
     R_W, R_P, R_A, R_PHASE = 0, 1, 2, 3
 
     def initialize(self, flags):
@@ -439,6 +450,8 @@ class PanmixUnit(HostUnit):
 # =========================================================
 
 class DcUnit(HostUnit):
+    record_kind = "gen"
+    queue_writes = False
     MODE_STEP, MODE_LINEAR = 0, 1
 
     def initialize(self, flags):
@@ -945,6 +958,8 @@ _ENV_LUTS = _env_build_luts()
 
 
 class EnvUnit(HostUnit):
+    record_kind = "gen"      # control only; runs at record time
+    queue_writes = False
     CI_TARGET, CI_MODE, CI_DOWN, CI_TIME = 0, 1, 2, 3
 
     def initialize(self, flags):
@@ -1069,6 +1084,9 @@ class _FmOp:
 
 
 class FmUnit(HostUnit):
+    record_kind = "gen"
+    queue_writes = False
+
     def __init__(self, *args, **kw):
         super().__init__(*args, **kw)
         self.nops = int(self.desc.name[2])

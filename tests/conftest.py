@@ -21,11 +21,11 @@ DATA_DIR = "/root/reference/test/data"
 
 
 def render_song(path, program="Song", seconds=2.0, samplerate=44100,
-                args=()):
+                args=(), batched=False):
     """Render a song offline through the host engine; returns int32
     8:24 mono samples."""
     import audiality2_tpu as a2
-    i = a2.open_engine(samplerate, 4096, 1)
+    i = a2.open_engine(samplerate, 4096, 1, batched=batched)
     h = i.load(path)
     prog = i.get(h, program)
     out = []

@@ -25,10 +25,13 @@ SONGS = [
 ]
 
 
+@pytest.mark.parametrize("batched", [False, True],
+                         ids=["interleaved", "batched"])
 @pytest.mark.parametrize("song,seconds", SONGS,
                          ids=[s for s, _ in SONGS])
-def test_song_bit_exact(song, seconds):
-    mine = render_song(f"{BENCH_DIR}/{song}.a2s", seconds=seconds)
+def test_song_bit_exact(song, seconds, batched):
+    mine = render_song(f"{BENCH_DIR}/{song}.a2s", seconds=seconds,
+                       batched=batched)
     gold = load_golden(f"{song}-5s-44100.raw", len(mine))
     diff = np.nonzero(mine != gold)[0]
     assert len(diff) == 0, (
