@@ -1,0 +1,131 @@
+"""a2play-equivalent CLI: load/compile .a2s modules, render offline,
+write WAV, dump exports/VM assembly.
+
+Reference: a2play/a2play.c (usage at a2play.c:457-489).  This engine is
+offline-first (no realtime audio device in the TPU deployment), so
+playback means rendering to a WAV file or stdout-summary; all other
+switches mirror a2play:
+
+    a2play-tpu [switches] <file.a2s>
+      -p <name>[,arg[,...]]   run program with arguments
+      -st <n>                 stop time (seconds)
+      -sl <n>                 stop level (1.0 == clip)
+      -r <n>                  sample rate (Hz)
+      -c <n>                  channels
+      -o <file.wav>           output WAV (16-bit PCM)
+      -x / -xa                dump module exports (+ VM assembly)
+      --interleaved           disable the batched block engine
+"""
+
+import argparse
+import struct
+import sys
+import time
+
+import numpy as np
+
+
+def write_wav(path, data_i24, samplerate, channels=1):
+    """Write int32 8:24 audio as 16-bit PCM WAV."""
+    pcm = np.clip(data_i24 >> 8, -32768, 32767).astype("<i2")
+    with open(path, "wb") as f:
+        n = pcm.nbytes
+        f.write(b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels,
+                                      samplerate,
+                                      samplerate * channels * 2,
+                                      channels * 2, 16))
+        f.write(b"data" + struct.pack("<I", n))
+        f.write(pcm.tobytes())
+
+
+def dump_exports(i, module, with_asm=False):
+    from .constants import A2ObjType
+    bank = i.bank_of(module)
+    print(f"Exports of {bank.name}:")
+    for name, h in bank.exports.items():
+        t = i.typeof(h)
+        tn = i.state.ss.hm.type_name(t)
+        print(f"  {name:<24s} {tn} ({h})")
+        if with_asm and t == A2ObjType.PROGRAM:
+            print(i.dump_code(h, prefix="   "))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="a2play-tpu", add_help=True)
+    ap.add_argument("file", help=".a2s module to load")
+    ap.add_argument("-p", "--program", default=None,
+                    help="program[,arg[,...]] to run (default: Song)")
+    ap.add_argument("-st", "--stoptime", type=float, default=10.0,
+                    help="stop time in seconds")
+    ap.add_argument("-sl", "--stoplevel", type=float, default=None,
+                    help="stop when below this level (1.0 == clip)")
+    ap.add_argument("-r", "--rate", type=int, default=44100)
+    ap.add_argument("-c", "--channels", type=int, default=1)
+    ap.add_argument("-o", "--output", default=None,
+                    help="write WAV file")
+    ap.add_argument("-x", action="store_true", help="dump exports")
+    ap.add_argument("-xa", action="store_true",
+                    help="dump exports with VM assembly")
+    ap.add_argument("--interleaved", action="store_true",
+                    help="use the interleaved (non-batched) engine")
+    args = ap.parse_args(argv)
+
+    from . import open_engine
+    i = open_engine(args.rate, 4096, args.channels,
+                    batched=not args.interleaved)
+    module = i.load(args.file)
+    print(f"Loaded \"{args.file}\"")
+
+    if args.x or args.xa:
+        dump_exports(i, module, with_asm=args.xa)
+
+    progspec = args.program or "Song"
+    parts = progspec.split(",")
+    pname = parts[0]
+    pargs = [float(x) for x in parts[1:]]
+    prog = i.try_get(module, pname)
+    if prog is None:
+        prog = i.try_get(0, pname)
+    if prog is None:
+        if args.program is None:
+            return 0        # nothing to play; dump-only use
+        print(f"a2play-tpu: program '{pname}' not found",
+              file=sys.stderr)
+        return 1
+
+    out = []
+    i.sink_callback(lambda bufs, frames: out.append(np.array(bufs[0])))
+    i.timestamp_reset()
+    i.start(i.root_voice(), prog, *pargs)
+
+    total = int(args.stoptime * args.rate)
+    silence = (int(args.stoplevel * 8388608.0)
+               if args.stoplevel is not None else None)
+    lastpeak = 0
+    t0 = time.perf_counter()
+    n = 0
+    while n < total:
+        i.run(4096)
+        n += 4096
+        if silence is not None:
+            buf = out[-1]
+            lastpeak += len(buf)
+            over = np.abs(buf.astype(np.int64)) > silence
+            if over.any():
+                lastpeak = len(buf) - int(np.max(np.nonzero(over)[0]))
+            if lastpeak > args.rate:
+                break
+    dt = time.perf_counter() - t0
+    audio = np.concatenate(out)
+    secs = len(audio) / args.rate
+    print(f"a2play-tpu: rendered {len(audio)} frames "
+          f"({secs:.2f} s) in {dt:.2f} s ({secs / dt:.1f}x realtime)")
+    if args.output:
+        write_wav(args.output, audio, args.rate, 1)
+        print(f"a2play-tpu: wrote {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

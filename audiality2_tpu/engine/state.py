@@ -436,10 +436,136 @@ class Interface:
         return self.state.core.run(frames)
 
     def sink_callback(self, callback):
-        """a2_SinkCallback equivalent on the master output: callback
-        receives (list of np.int32 buffers, frames)."""
+        """Master-output tap: callback receives (list of np.int32
+        buffers, frames) once per run() — the offline analog of
+        a2_SinkCallback on the root voice (both observe the same
+        mix; see insert_callback for the per-fragment client form)."""
         self.state.core.sinks.append(callback)
         return len(self.state.core.sinks)
+
+    # ===== xinsert clients (xinsertapi.c) =====
+
+    def _add_xic(self, voice, callback, read, write, userdata=None):
+        from ..units.host_units import XInsertClient
+        xic = XInsertClient(callback, read=read, write=write,
+                            userdata=userdata)
+        h = self.state.ss.hm.new(xic, A2ObjType.XICLIENT)
+        xic.handle = h
+        from .core import EV_ADDXIC, Event
+        e = Event(EV_ADDXIC, self.timestamp, xic=xic)
+        self.state.core.apimsgs.append((voice, e))
+        return h
+
+    def tap_callback(self, voice, callback, userdata=None):
+        """a2_SinkCallback/a2_TapCallback: READ client on the first
+        xinsert unit of 'voice'; callback(bufs, n, frames, userdata)."""
+        return self._add_xic(voice, callback, True, False, userdata)
+
+    def source_callback(self, voice, callback, userdata=None):
+        """a2_SourceCallback: WRITE client — callback fills buffers."""
+        return self._add_xic(voice, callback, False, True, userdata)
+
+    def insert_callback(self, voice, callback, userdata=None):
+        """a2_InsertCallback: READ/WRITE client — callback transforms
+        buffers in place (parallel-summed with other inserts)."""
+        return self._add_xic(voice, callback, True, True, userdata)
+
+    def open_sink(self, voice, channel=0):
+        """a2_OpenSink: capture a voice's audio into a readable
+        stream."""
+        from ..objects.streams import XicReadStream
+        str_ = XicReadStream(self.state, -1, None, channel)
+
+        def cb(bufs, n, frames, userdata):
+            if bufs and channel < len(bufs):
+                str_.push(bufs[channel][:frames])
+            return 0
+
+        xh = self.tap_callback(voice, cb)
+        h = self.state.ss.hm.new(str_, A2ObjType.STREAM)
+        str_.target_handle = xh
+        return h
+
+    def open_source(self, voice, channel=0):
+        """a2_OpenSource: feed a voice's xinsert from a writable
+        stream."""
+        from ..objects.streams import XicWriteStream
+        str_ = XicWriteStream(self.state, -1, None, channel)
+
+        def cb(bufs, n, frames, userdata):
+            data = str_.pull(frames)
+            for ch in range(n):
+                bufs[ch][:frames] = data
+            return 0
+
+        xh = self.source_callback(voice, cb)
+        h = self.state.ss.hm.new(str_, A2ObjType.STREAM)
+        str_.target_handle = xh
+        return h
+
+    # ===== streams (stream.c) =====
+
+    def open_stream(self, handle, channel=0, size=0, flags=0):
+        """a2_OpenStream on a wave (upload/download)."""
+        hm = self.state.ss.hm
+        hi = hm.require(handle)
+        if hi.typecode == A2ObjType.WAVE:
+            from ..objects.streams import WaveStream
+            s = WaveStream(self.state, handle, hi.data, channel, size,
+                           flags)
+            return hm.new(s, A2ObjType.STREAM)
+        raise A2Exception(A2Error.WRONGTYPE, "open_stream")
+
+    def _stream(self, h):
+        return self.state.ss.hm.require(h, A2ObjType.STREAM).data
+
+    def stream_write(self, h, fmt, data):
+        return self._stream(h).write(fmt, data)
+
+    def stream_read(self, h, fmt, count):
+        return self._stream(h).read(fmt, count)
+
+    def stream_flush(self, h):
+        return self._stream(h).flush()
+
+    def stream_close(self, h):
+        s = self._stream(h)
+        s.close()
+        return self.state.ss.hm.release(h)
+
+    def stream_position(self, h):
+        return self._stream(h).position
+
+    def stream_set_position(self, h, offset):
+        return self._stream(h).set_position(offset)
+
+    def stream_available(self, h):
+        return self._stream(h).available()
+
+    def stream_space(self, h):
+        return self._stream(h).space()
+
+    # ===== rendering (render.c) =====
+
+    def render(self, program, *args, samplerate=None, length=0,
+               channels=1):
+        """a2_Render-style offline render of 'program'; returns int32
+        8:24 samples (stops at 'length' frames, or at silence)."""
+        from .render import render_program
+        if samplerate is None:
+            samplerate = self.state.config.samplerate
+        iargs = [to_f16(a) for a in args]
+        return render_program(self.state, program, iargs,
+                              samplerate=samplerate, length=length,
+                              channels=channels)
+
+    def dump_code(self, program_handle, prefix=""):
+        """a2_DumpCode: disassemble a program's VM code."""
+        from ..a2s.disasm import dump_program
+        p = self.get_program(program_handle)
+        if p is None:
+            raise A2Exception(A2Error.BADPROGRAM)
+        return dump_program(p, prefix)
 
     # ===== properties (a2_properties.h) =====
 
