@@ -60,8 +60,13 @@ def p2i(pitch: int) -> int:
 
 
 def f2p(f: float, reference: float = A2_MIDDLEC) -> float:
-    """Frequency (Hz) -> linear pitch (a2_F2Pf)."""
-    return math.log2(f / reference)
+    """Frequency (Hz) -> linear pitch, with the reference's exact
+    float32 semantics (a2_F2Pf, pitch.c:45-48: the division and the
+    return value are float32; log2 itself runs in double).  Script
+    literals like `9000f` depend on this rounding."""
+    import numpy as np
+    x = np.float32(np.float32(f) / np.float32(reference))
+    return float(np.float32(math.log2(float(x))))
 
 
 def p2if(pitch: float) -> float:

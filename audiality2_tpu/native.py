@@ -1,0 +1,217 @@
+"""ctypes bindings for the native runtime (native/liba2rt.so).
+
+The Python side keeps the compiler and object system; a NativeRenderer
+serializes every compiled program and prepared wave of an engine state
+into the C++ runtime and drives rendering through it.  Audio output is
+bit-exact with the Python engine (same integer DSP; see
+tests/test_native.py).
+"""
+
+import ctypes as C
+import os
+import subprocess
+
+import numpy as np
+
+from .constants import A2_MAXARGS, A2_MAXEPS, A2ObjType, WaveType
+from .errors import A2Error, A2Exception
+from .fixmath import to_f16
+
+_LIB = None
+
+
+def _lib_path():
+    return os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "native", "liba2rt.so")
+
+
+def load_lib():
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    path = _lib_path()
+    if not os.path.exists(path):
+        subprocess.run([os.path.join(os.path.dirname(path),
+                                     "build.sh")], check=True)
+    lib = C.CDLL(path)
+    lib.a2rt_new.restype = C.c_void_p
+    lib.a2rt_new.argtypes = [C.c_int, C.c_int, C.c_int32, C.c_uint32,
+                             C.c_uint32]
+    lib.a2rt_free.argtypes = [C.c_void_p]
+    lib.a2rt_add_program.argtypes = [C.c_void_p, C.c_int,
+                                     C.POINTER(C.c_int32), C.c_int]
+    lib.a2rt_add_wave.argtypes = [C.c_void_p, C.c_int, C.c_int,
+                                  C.c_uint32, C.c_uint32,
+                                  C.POINTER(C.c_uint32),
+                                  C.POINTER(C.c_int16)]
+    lib.a2rt_init_root.argtypes = [C.c_void_p, C.c_int]
+    lib.a2rt_start.argtypes = [C.c_void_p, C.c_int, C.c_int, C.c_int,
+                               C.POINTER(C.c_int32), C.c_uint32]
+    lib.a2rt_start.restype = C.c_int
+    lib.a2rt_play.argtypes = lib.a2rt_start.argtypes
+    lib.a2rt_send.argtypes = [C.c_void_p, C.c_int, C.c_int, C.c_int,
+                              C.POINTER(C.c_int32), C.c_uint32]
+    lib.a2rt_kill.argtypes = [C.c_void_p, C.c_int, C.c_uint32]
+    lib.a2rt_release.argtypes = [C.c_void_p, C.c_int, C.c_uint32]
+    lib.a2rt_run.argtypes = [C.c_void_p, C.c_int,
+                             C.POINTER(C.c_int32)]
+    lib.a2rt_now.argtypes = [C.c_void_p]
+    lib.a2rt_now.restype = C.c_uint32
+    lib.a2rt_activevoices.argtypes = [C.c_void_p]
+    lib.a2rt_activevoices.restype = C.c_int64
+    lib.a2rt_instructions.argtypes = [C.c_void_p]
+    lib.a2rt_instructions.restype = C.c_int64
+    lib.a2rt_last_error.argtypes = [C.c_void_p]
+    lib.a2rt_last_error.restype = C.c_int
+    _LIB = lib
+    return lib
+
+
+def serialize_program(p):
+    """Flatten a Program (a2s/program.py) into the int32 blob layout
+    read by a2rt_add_program."""
+    words = [p.nfuncs, len(p.units), len(p.wires), p.vflags,
+             p.buffers]
+    words += list(p.eps)
+    for fn in p.funcs:
+        words += [len(fn.code), fn.argc, fn.argv, fn.topreg]
+        words += list(fn.argdefs[:A2_MAXARGS])
+        for w in fn.code:
+            w &= 0xFFFFFFFF
+            words.append(w - (1 << 32) if w & 0x80000000 else w)
+    for u in p.units:
+        words += [u.uindex, u.ninputs, u.noutputs, u.flags]
+    for w in p.wires:
+        words += [w.from_unit, w.from_output, w.to_register]
+    return np.array(words, dtype=np.int32)
+
+
+class NativeRenderer:
+    """Drives a native engine state mirroring a Python Interface's
+    compiled objects."""
+
+    def __init__(self, interface, channels=None):
+        self.i = interface
+        self.lib = load_lib()
+        st = interface.state
+        self.samplerate = st.config.samplerate
+        self.channels = channels or st.config.channels
+        if self.channels < 1:
+            self.channels = 1
+        self.master_channels = self.channels if self.channels >= 2 else 1
+        self.st = self.lib.a2rt_new(
+            self.samplerate, self.channels, st.config.basepitch,
+            16576, 324357)
+        self._pushed_programs = set()
+        self._pushed_waves = set()
+        self.timestamp = 0
+        self.sync()
+        name = ("a2_rootdriver" if self.master_channels >= 2
+                else "a2_rootdriver_mono")
+        root = interface.get(0, name)
+        r = self.lib.a2rt_init_root(self.st, root)
+        if r:
+            raise A2Exception(A2Error.INTERNAL, f"init_root {r}")
+
+    def sync(self):
+        """Push all programs and waves known to the Python state."""
+        hm = self.i.state.ss.hm
+        for h in hm.all_handles():
+            hi = hm.get(h)
+            if hi is None:
+                continue
+            if hi.typecode == A2ObjType.PROGRAM \
+                    and h not in self._pushed_programs:
+                blob = serialize_program(hi.data)
+                self.lib.a2rt_add_program(
+                    self.st, h,
+                    blob.ctypes.data_as(C.POINTER(C.c_int32)),
+                    len(blob))
+                self._pushed_programs.add(h)
+            elif hi.typecode == A2ObjType.WAVE \
+                    and h not in self._pushed_waves:
+                w = hi.data
+                levels = w.miplevels
+                sizes = np.zeros(10, dtype=np.uint32)
+                chunks = []
+                for mm in range(levels):
+                    sizes[mm] = w.size[mm]
+                    chunks.append(w.data[mm])
+                data = (np.concatenate(chunks) if chunks
+                        else np.zeros(1, dtype=np.int16))
+                self.lib.a2rt_add_wave(
+                    self.st, h, int(w.type), w.flags, w.period,
+                    sizes.ctypes.data_as(C.POINTER(C.c_uint32)),
+                    data.ctypes.data_as(C.POINTER(C.c_int16)))
+                self._pushed_waves.add(h)
+
+    # ---- API ----
+
+    def timestamp_reset(self):
+        self.timestamp = self.lib.a2rt_now(self.st)
+
+    def timestamp_bump(self, dt):
+        self.timestamp += dt
+
+    def _args(self, args):
+        arr = np.array([to_f16(a) if isinstance(a, float) else int(a)
+                        for a in args], dtype=np.int32)
+        return len(arr), arr.ctypes.data_as(C.POINTER(C.c_int32))
+
+    def start(self, parent, program, *args):
+        n, a = self._args(args)
+        return self.lib.a2rt_start(self.st, parent, program, n, a,
+                                   self.timestamp)
+
+    def play(self, parent, program, *args):
+        n, a = self._args(args)
+        return self.lib.a2rt_play(self.st, parent, program, n, a,
+                                  self.timestamp)
+
+    def send(self, voice, ep, *args):
+        n, a = self._args(args)
+        return self.lib.a2rt_send(self.st, voice, ep, n, a,
+                                  self.timestamp)
+
+    def kill(self, voice):
+        return self.lib.a2rt_kill(self.st, voice, self.timestamp)
+
+    def release(self, voice):
+        return self.lib.a2rt_release(self.st, voice, self.timestamp)
+
+    def root_voice(self):
+        return 0
+
+    def run(self, frames):
+        """Render `frames` frames; returns (channels, frames) int32."""
+        out = np.empty((self.master_channels, frames), dtype=np.int32)
+        self.lib.a2rt_run(self.st, frames,
+                          out.ctypes.data_as(C.POINTER(C.c_int32)))
+        return out
+
+    @property
+    def activevoices(self):
+        return self.lib.a2rt_activevoices(self.st)
+
+    def close(self):
+        if self.st:
+            self.lib.a2rt_free(self.st)
+            self.st = None
+
+
+def render_native(interface, program_handle, args=(), seconds=2.0,
+                  buffer=4096):
+    """Convenience: offline-render a program through the native
+    runtime; returns int32 8:24 mono samples."""
+    r = NativeRenderer(interface, channels=1)
+    r.timestamp_reset()
+    r.start(0, program_handle, *args)
+    sr = r.samplerate
+    total = int(seconds * sr)
+    chunks = []
+    n = 0
+    while n < total:
+        chunks.append(r.run(buffer)[0])
+        n += buffer
+    r.close()
+    return np.concatenate(chunks)

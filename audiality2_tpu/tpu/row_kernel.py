@@ -222,7 +222,9 @@ class RowBatch:
             return np.zeros((0, 2, FRAG), dtype=np.int64)
         if use_jax and self.n < self.JAX_MIN_ROWS:
             use_jax = False
-        pad = _next_pow2(self.n)
+        # Pad to a power of two only for the device path (bucketed jit
+        # shapes); numpy evaluates the exact row count.
+        pad = _next_pow2(self.n) if use_jax else self.n
 
         def arr(x, dt=np.int64):
             a = np.zeros(pad, dtype=dt)

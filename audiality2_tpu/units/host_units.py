@@ -519,14 +519,14 @@ class DcUnit(HostUnit):
 # =========================================================
 
 def _pitch2coeff_f32(cutoff_value_8_24, samplerate):
-    """f12_pitch2coeff (filter12.c:65-72), float32 arithmetic."""
-    f = np.float32(p2i(cutoff_value_8_24 >> 8)
-                   * np.float32(261.626 / 16777216.0))
+    """f12_pitch2coeff (filter12.c:65-72): f in float32, the sin() and
+    final multiply in double (exact C mixed-precision semantics)."""
+    f = np.float32(np.float32(p2i(cutoff_value_8_24 >> 8))
+                   * np.float32(np.float32(261.626) / np.float32(16777216.0)))
     if f > np.float32(samplerate >> 2):
         return 362 << 16
-    return int(np.float32(512.0 * 65536.0)
-               * np.float32(np.sin(np.float64(np.float32(np.pi)
-                                              * f / np.float32(samplerate)))))
+    return int(np.float64(np.float32(512.0 * 65536.0))
+               * np.sin(np.pi * np.float64(f) / np.float64(samplerate)))
 
 
 class Filter12Unit(HostUnit):
@@ -639,14 +639,15 @@ class DcblockUnit(HostUnit):
 
     def _w_cutoff(self, v, start, dur):
         self.cutoff = sat32(v + self.voice.r[R_TRANSPOSE])
-        f = np.float32(p2i(self.cutoff)
-                       * np.float32(261.626 / 16777216.0))
+        f = np.float32(np.float32(p2i(self.cutoff))
+                       * np.float32(np.float32(261.626)
+                                    / np.float32(16777216.0)))
         if f > np.float32(self.samplerate >> 2):
             self.f1 = 362 << 16
         else:
-            self.f1 = int(np.float32(512.0 * 65536.0) * np.float32(
-                np.sin(np.float64(np.float32(np.pi) * f
-                                  / np.float32(self.samplerate)))))
+            self.f1 = int(np.float64(np.float32(512.0 * 65536.0))
+                          * np.sin(np.pi * np.float64(f)
+                                   / np.float64(self.samplerate)))
 
     def process(self, offset, frames):
         add = bool(self.flags & A2_PROCADD)
