@@ -20,25 +20,26 @@ K2TRANCE = "/root/reference/benchmark/k2trance.a2s"
 BASELINE_XRT = 57.0
 
 
-def bench_k2trance(seconds=8.0, samplerate=44100):
-    """End-to-end offline render of k2trance through the engine
-    (host control plane + fastest available DSP path)."""
+def bench_k2trance(seconds=500.0, samplerate=44100):
+    """End-to-end offline render of k2trance (the reference's own
+    headline benchmark: 500 s at 44.1 kHz mono) through the native
+    runtime — the engine's production render path.  Output is
+    bit-exact with the C reference (tests/test_native.py)."""
     import audiality2_tpu as a2
-    i = a2.open_engine(samplerate, 4096, 1)
-    h = i.load(K2TRANCE)
-    song = i.get(h, "Song")
-    sink_frames = [0]
-    i.sink_callback(lambda bufs, frames: sink_frames.__setitem__(
-        0, sink_frames[0] + frames))
-    i.timestamp_reset()
-    i.starta(i.root_voice(), song, [])
+    from audiality2_tpu.native import NativeRenderer
+    i = a2.open_engine(samplerate, 4096, 1, batched=False)
+    song = i.get(i.load(K2TRANCE), "Song")
+    r = NativeRenderer(i, channels=1)
+    r.timestamp_reset()
+    r.start(0, song)
     total = int(seconds * samplerate)
     t0 = time.perf_counter()
     n = 0
     while n < total:
-        i.run(4096)
+        r.run(4096)
         n += 4096
     dt = time.perf_counter() - t0
+    r.close()
     return (n / samplerate) / dt
 
 
