@@ -42,8 +42,8 @@ def test_native_send_kill():
     from audiality2_tpu.native import NativeRenderer
     i = a2.open_engine(44100, 1024, 1, batched=False)
     h = i.load_string(
-        "export P(F=0) { struct { wtosc } w sine; p F; a .5; set a;"
-        " d 10000; end 1(NA) { a NA; set a } }\n")
+        "export P(F=0) {\n struct { wtosc }\n w sine; p F; a .5; set a\n"
+        " d 10000; end\n 1(NA) { a NA; set a }\n}\n")
     prog = i.get(h, "P")
     r = NativeRenderer(i, channels=1)
     r.timestamp_reset()
