@@ -316,7 +316,10 @@ class Compiler:
     def num2vm(self, v):
         fxv = to_f16(v)
         if fxv > 0x7FFFFFFF or fxv < -0x80000000:
-            self.throw(A2Error.OVERFLOW)
+            # The reference's range check is unreachable
+            # (compiler.c:497: `>max && <min`); the double->int
+            # conversion yields INT_MIN on x86 for out-of-range values.
+            fxv = -0x80000000
         if v and not fxv:
             self.throw(A2Error.UNDERFLOW)
         return fxv

@@ -137,6 +137,12 @@ class Core:
         self.activevoicesmax = 0
         self.instructions = 0
         self.apimessages = 0
+        self.cputimesum = 0
+        self.cputimecount = 0
+        self.cputimeavg = 0
+        self.cputimemax = 0
+        self.cpuloadavg = 0
+        self.cpuloadmax = 0
         self.apimsgs = []                # pending API messages (events)
         self.master = Bus(state.config.channels if state.config.channels
                           >= 2 else 1)
@@ -1123,9 +1129,32 @@ class Core:
 
     def run(self, frames):
         """Drive the engine for 'frames' frames (offline operation).
-        Output goes to the sink callbacks."""
-        if self.batched:
-            return self.run_batched(frames)
+        Output goes to the sink callbacks.  Wall-time statistics per
+        callback are kept like the reference's CPU-load tracing
+        (core.c:1976-1997): cputimeavg/max in microseconds, load as a
+        percentage of the rendered time."""
+        import time as _t
+        t0 = _t.perf_counter()
+        try:
+            if self.batched:
+                return self.run_batched(frames)
+            return self._run_interleaved(frames)
+        finally:
+            dur = int((_t.perf_counter() - t0) * 1e6)
+            self.cputimesum += dur
+            self.cputimecount += 1
+            if dur > self.cputimemax:
+                self.cputimemax = dur
+            self.cputimeavg = self.cputimesum // self.cputimecount
+            audio_us = frames * 1e6 / self.state.config.samplerate
+            load = int(dur * 100 / audio_us) if audio_us else 0
+            if load > self.cpuloadmax:
+                self.cpuloadmax = load
+            self.cpuloadavg = int(
+                self.cputimesum * 100
+                / (self.cputimecount * audio_us)) if audio_us else 0
+
+    def _run_interleaved(self, frames):
         st = self.state
         st.now_frames = (st.now_fragstart + (frames << 8)) & _U32
         self.pump_api_messages()

@@ -585,6 +585,12 @@ class Interface:
             "noiseseed": st.noisestate.state,
             "tabsize": st.ss.tabsize,
             "instructions": st.core.instructions,
+            "activevoicesmax": st.core.activevoicesmax,
+            "apimessages": st.core.apimessages,
+            "cputimeavg": st.core.cputimeavg,
+            "cputimemax": st.core.cputimemax,
+            "cpuloadavg": st.core.cpuloadavg,
+            "cpuloadmax": st.core.cpuloadmax,
         }
         if name not in props:
             raise A2Exception(A2Error.NOTFOUND, name)
