@@ -69,6 +69,11 @@ def main(argv=None):
                     help="dump exports with VM assembly")
     ap.add_argument("--interleaved", action="store_true",
                     help="use the interleaved (non-batched) engine")
+    ap.add_argument("--native", action="store_true", default=None,
+                    help="render through the native C++ runtime "
+                         "(default when available)")
+    ap.add_argument("--no-native", dest="native", action="store_false",
+                    help="force the Python engine")
     args = ap.parse_args(argv)
 
     from . import open_engine
@@ -94,10 +99,27 @@ def main(argv=None):
               file=sys.stderr)
         return 1
 
+    use_native = args.native
+    if use_native is None:
+        try:
+            from .native import load_lib
+            load_lib()
+            use_native = True
+        except Exception:
+            use_native = False
+
     out = []
-    i.sink_callback(lambda bufs, frames: out.append(np.array(bufs[0])))
-    i.timestamp_reset()
-    i.start(i.root_voice(), prog, *pargs)
+    renderer = None
+    if use_native:
+        from .native import NativeRenderer
+        renderer = NativeRenderer(i, channels=1)
+        renderer.timestamp_reset()
+        renderer.start(0, prog, *[float(a) for a in pargs])
+    else:
+        i.sink_callback(lambda bufs, frames: out.append(
+            np.array(bufs[0])))
+        i.timestamp_reset()
+        i.start(i.root_voice(), prog, *pargs)
 
     total = int(args.stoptime * args.rate)
     silence = (int(args.stoplevel * 8388608.0)
@@ -106,7 +128,10 @@ def main(argv=None):
     t0 = time.perf_counter()
     n = 0
     while n < total:
-        i.run(4096)
+        if renderer is not None:
+            out.append(renderer.run(4096)[0])
+        else:
+            i.run(4096)
         n += 4096
         if silence is not None:
             buf = out[-1]
