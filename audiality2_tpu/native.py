@@ -21,6 +21,10 @@ _LIB = None
 
 
 def _lib_path():
+    # A2RT_LIB overrides for instrumented builds (e.g. -DA2RT_PROF)
+    env = os.environ.get("A2RT_LIB")
+    if env:
+        return env
     return os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "native", "liba2rt.so")
 
