@@ -69,6 +69,10 @@ def main(argv=None):
                     help="dump exports with VM assembly")
     ap.add_argument("--interleaved", action="store_true",
                     help="use the interleaved (non-batched) engine")
+    ap.add_argument("-M", "--midi", default=None, metavar="FILE.mid",
+                    help="MIDI handler mode (a2play -M): run the "
+                         "program as an EP-7 MIDI handler and feed it "
+                         "the given Standard MIDI File")
     ap.add_argument("--native", action="store_true", default=None,
                     help="render through the native C++ runtime "
                          "(default when available)")
@@ -110,6 +114,8 @@ def main(argv=None):
 
     out = []
     renderer = None
+    if args.midi:
+        use_native = False        # MIDI driver runs on the host engine
     if use_native:
         from .native import NativeRenderer
         renderer = NativeRenderer(i, channels=1)
@@ -119,7 +125,10 @@ def main(argv=None):
         i.sink_callback(lambda bufs, frames: out.append(
             np.array(bufs[0])))
         i.timestamp_reset()
-        i.start(i.root_voice(), prog, *pargs)
+        vh = i.starta(i.root_voice(), prog, [int(a * 65536)
+                                             for a in pargs])
+        if args.midi:
+            i.set_midi_driver(f"smf,{args.midi}", handler_voice=vh)
 
     total = int(args.stoptime * args.rate)
     silence = (int(args.stoplevel * 8388608.0)

@@ -216,3 +216,15 @@ def ins_size(op: int) -> int:
 # Illegal jump target used to mark branches pending fixup
 # (compiler.h:199).
 A2_UNDEFJUMP = 0xFF000000
+
+
+# ---- log levels (a2_types.h:86-107) ----
+A2_LOG_INTERNAL = 0x0001
+A2_LOG_CRITICAL = 0x0002
+A2_LOG_ERROR = 0x0004
+A2_LOG_WARNING = 0x0008
+A2_LOG_INFO = 0x0010
+A2_LOG_MESSAGE = 0x0020
+A2_LOG_DEBUG = 0x0100
+A2_LOG_DEFAULTS = (A2_LOG_INTERNAL | A2_LOG_CRITICAL | A2_LOG_ERROR
+                   | A2_LOG_WARNING | A2_LOG_INFO | A2_LOG_MESSAGE)

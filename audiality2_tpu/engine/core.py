@@ -149,7 +149,7 @@ class Core:
         self.scratch = [None] * A2_NESTLIMIT
         self.rootvoice = None
         self.rootvoice_handle = -1
-        self.unit_classes = host_units.REGISTRY
+        self.unit_classes = state.ss.unit_classes
         # --- batched (record/replay) block engine state ---
         self.batched = bool(getattr(state.config, "batched", False))
         self.use_jax = bool(getattr(state.config, "use_jax", True))
@@ -1135,6 +1135,9 @@ class Core:
         percentage of the rendered time."""
         import time as _t
         t0 = _t.perf_counter()
+        md = self.state.midi_driver
+        if md is not None:
+            md.poll(frames)         # once per buffer (a2_PollMIDI)
         try:
             if self.batched:
                 return self.run_batched(frames)

@@ -1,0 +1,244 @@
+"""Driver registry: named audio/MIDI/system backends.
+
+Mirrors the reference's driver architecture (src/drivers.c:310-330
+builtin table, drivers.c:544 option-string parsing, a2_drivers.h:46-63
+config carrier) in offline-first form.  The TPU deployment has no
+realtime audio device, so the audio backends are:
+
+  buffer    offline driver (drivers/bufferdrv.c): Run(frames) renders
+            synchronously into driver-owned int32 buffers — the
+            backend behind all offline rendering and tests
+  dummy     accepts config, discards audio (drivers/dummydrv.c)
+  callback  invokes a user process(buffers, frames) per Run — the
+            structural analog of the SDL/JACK callback drivers
+            (drivers/sdldrv.c:42-144) with the host app as the sink
+
+MIDI backends translate events to `send(voice, 7, (Msg, Ch, Arg1,
+Arg2))` exactly like drivers/alsamididrv.c:73-97 (contract
+a2_drivers.h:337-375); the built-in `smf` driver replays a parsed
+Standard MIDI File on the engine clock.
+
+System driver `heap` fills the RTAlloc/RTFree slot
+(drivers/mallocdrv.c:30-56) — host allocation is the python heap, so
+it only tracks allocation counts for statistics parity.
+"""
+
+import numpy as np
+
+from ..errors import A2Error, A2Exception
+
+
+def parse_driver_spec(spec):
+    """Split "name,opt1,opt2" into (name, [opts]) (drivers.c:544).
+
+    None or "" selects the default driver with no options."""
+    if not spec:
+        return None, []
+    parts = [p.strip() for p in str(spec).split(",")]
+    return parts[0] or None, [p for p in parts[1:] if p]
+
+
+class AudioDriver:
+    """Base audio driver (a2_drivers.h:170-220 analog)."""
+
+    name = "audio"
+
+    def __init__(self, state, options=()):
+        self.state = state
+        self.samplerate = state.config.samplerate
+        self.channels = max(1, state.config.channels)
+        self.options = list(options)
+
+    def run(self, frames):
+        raise NotImplementedError
+
+    # Rare synchronous ops happen between Run calls host-side; these
+    # exist for API parity with a2_drivers.h:294-296.
+    def lock(self):
+        pass
+
+    def unlock(self):
+        pass
+
+    def close(self):
+        pass
+
+
+class BufferDriver(AudioDriver):
+    """Offline driver: Run renders synchronously into owned buffers
+    (drivers/bufferdrv.c:28-40)."""
+
+    name = "buffer"
+
+    def __init__(self, state, options=()):
+        super().__init__(state, options)
+        self.buffers = None         # np.int32 per channel, last Run
+
+    def run(self, frames):
+        out = [[] for _ in range(self.channels)]
+
+        def sink(bufs, n):
+            for c in range(min(len(bufs), self.channels)):
+                out[c].append(np.array(bufs[c]))
+
+        core = self.state.core
+        core.sinks.append(sink)
+        try:
+            core.run(frames)
+        finally:
+            core.sinks.remove(sink)
+        self.buffers = [np.concatenate(c) if c else
+                        np.zeros(frames, np.int32) for c in out]
+        return self.buffers
+
+
+class DummyDriver(AudioDriver):
+    """Accepts config, renders, discards (drivers/dummydrv.c)."""
+
+    name = "dummy"
+
+    def run(self, frames):
+        self.state.core.run(frames)
+        return None
+
+
+class CallbackDriver(AudioDriver):
+    """Hands each rendered block to a host callback — the offline
+    analog of the SDL/JACK process callbacks (sdldrv.c:42-144)."""
+
+    name = "callback"
+
+    def __init__(self, state, options=(), process=None):
+        super().__init__(state, options)
+        self.process = process
+
+    def run(self, frames):
+        def sink(bufs, n):
+            if self.process is not None:
+                self.process(bufs, n)
+
+        core = self.state.core
+        core.sinks.append(sink)
+        try:
+            core.run(frames)
+        finally:
+            core.sinks.remove(sink)
+        return None
+
+
+class MidiDriver:
+    """MIDI input driver base: poll(frames) runs once per audio
+    buffer and forwards events to the handler voice via EP 7 with
+    args (Msg, Ch, Arg1, Arg2) — alsamididrv.c:73-97 contract."""
+
+    name = "midi"
+
+    def __init__(self, state, options=()):
+        self.state = state
+        self.options = list(options)
+        self.bridge = None
+
+    def bind_handler(self, interface, voice):
+        from .midi import MidiBridge
+        self.bridge = MidiBridge(interface, voice)
+
+    def poll(self, frames):
+        pass
+
+    def close(self):
+        pass
+
+
+class SmfMidiDriver(MidiDriver):
+    """Replays a Standard MIDI File on the engine clock.  The file
+    path comes from the driver options: "smf,song.mid"."""
+
+    name = "smf"
+
+    def __init__(self, state, options=()):
+        super().__init__(state, options)
+        from .midi import parse_smf
+        self.events = parse_smf(options[0]) if options else []
+        self.pos = 0
+        self.time = 0.0     # engine seconds already polled
+
+    def poll(self, frames):
+        if self.bridge is None:
+            return
+        end = self.time + frames / self.state.config.samplerate
+        sr = self.state.config.samplerate
+        while self.pos < len(self.events) \
+                and self.events[self.pos][0] < end:
+            t, status, d1, d2 = self.events[self.pos]
+            # timestamp the event at its exact subsample position
+            offset = int(max(0.0, t - self.time) * sr * 256.0)
+            self.bridge.i.timestamp_bump(offset)
+            kind = status & 0xF0
+            ch = status & 0x0F
+            if kind == 0x90:
+                self.bridge.note_on(ch, d1, d2)
+            elif kind == 0x80:
+                self.bridge.note_off(ch, d1, d2)
+            elif kind == 0xB0:
+                self.bridge.control_change(ch, d1, d2)
+            elif kind == 0xE0:
+                self.bridge.pitch_bend(ch, ((d2 << 7) | d1) - 8192)
+            elif kind == 0xC0:
+                self.bridge.program_change(ch, d1)
+            elif kind == 0xA0:
+                self.bridge.aftertouch(ch, d1, d2)
+            self.bridge.i.timestamp_bump(-offset)
+            self.pos += 1
+        self.time = end
+
+
+class HeapSysDriver:
+    """RTAlloc/RTFree slot (drivers/mallocdrv.c:30-56): host python
+    allocates from its heap; this tracks counts for statistics."""
+
+    name = "heap"
+
+    def __init__(self, state=None, options=()):
+        self.allocs = 0
+        self.frees = 0
+
+    def rt_alloc(self, size):
+        self.allocs += 1
+        return bytearray(size)
+
+    def rt_free(self, block):
+        self.frees += 1
+
+
+_REGISTRY = {
+    "audio": {"buffer": BufferDriver, "dummy": DummyDriver,
+              "callback": CallbackDriver},
+    "midi": {"smf": SmfMidiDriver},
+    "sys": {"heap": HeapSysDriver},
+}
+_DEFAULTS = {"audio": "buffer", "midi": "smf", "sys": "heap"}
+
+
+def register_driver(kind, name, factory):
+    """a2_AddDriver analog: register a named driver backend."""
+    if kind not in _REGISTRY:
+        raise A2Exception(A2Error.BADTYPE, kind)
+    _REGISTRY[kind][name] = factory
+    return A2Error.OK
+
+
+def new_driver(kind, spec, state, **kw):
+    """Instantiate "name,opt,opt" (drivers.c:544); None = default."""
+    name, opts = parse_driver_spec(spec)
+    name = name or _DEFAULTS[kind]
+    try:
+        factory = _REGISTRY[kind][name]
+    except KeyError:
+        raise A2Exception(A2Error.DRIVERNOTFOUND
+                          if hasattr(A2Error, "DRIVERNOTFOUND")
+                          else A2Error.NOTFOUND, f"{kind}:{name}")
+    return factory(state, opts, **kw)
+
+
+def driver_names(kind):
+    return sorted(_REGISTRY.get(kind, ()))

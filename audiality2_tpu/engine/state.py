@@ -74,11 +74,17 @@ export a2_terminator() {}
 
 class Config:
     def __init__(self, samplerate=48000, buffer=1024, channels=2,
-                 flags=0, batched=True, use_jax=True):
+                 flags=0, batched=True, use_jax=True,
+                 audiodriver=None, mididriver=None, sysdriver=None):
         self.samplerate = samplerate
         self.buffer = buffer
         self.channels = channels
         self.flags = flags
+        # driver specs: "name,opt,opt" strings (drivers.c:544); None
+        # selects the defaults (buffer audio / heap sys, no midi)
+        self.audiodriver = audiodriver
+        self.mididriver = mididriver
+        self.sysdriver = sysdriver
         # batched: record/replay block engine with device-batched
         # oscillator rows (bit-exact with the interleaved engine).
         self.batched = batched
@@ -107,6 +113,9 @@ class SharedState:
         self.silencegrace = 1024
         self.tabsize = 8
         self.units = list(CORE_UNITS)
+        from ..units import host_units as _hu
+        self.unit_classes = dict(_hu.REGISTRY)
+        self.custom_units = 0
         self.terminator = None        # Program
         self.groupdriver = None       # handle
         self.load_cache = {}          # name -> bank handle
@@ -146,6 +155,18 @@ class State:
         self.last_rt_error = None
         self.core = _core.Core(self)
         self.interface = Interface(self)
+        # drivers (engine/drivers.py): audio defaults to the offline
+        # buffer driver; midi optional; sys fills the RTAlloc slot
+        from . import drivers as _drv
+        self.audio_driver = _drv.new_driver("audio",
+                                            self.config.audiodriver,
+                                            self)
+        self.sys_driver = _drv.new_driver("sys", self.config.sysdriver,
+                                          self)
+        self.midi_driver = (_drv.new_driver("midi",
+                                            self.config.mididriver,
+                                            self)
+                            if self.config.mididriver else None)
 
         if parent is None:
             self._open_shared()
@@ -200,6 +221,8 @@ class Interface:
     def __init__(self, state: State):
         self.state = state
         self.timestamp = 0        # 24:8 frames, for timestamped API
+        from ..constants import A2_LOG_DEFAULTS
+        self.loglevels = A2_LOG_DEFAULTS
 
     # ===== compiler host protocol =====
 
@@ -569,6 +592,70 @@ class Interface:
 
     # ===== properties (a2_properties.h) =====
 
+    # ===== custom units (units.c:79-157 a2_RegisterUnit) =====
+
+    def register_unit(self, desc, unit_class):
+        """Register a custom voice unit.
+
+        desc is a units.descriptors.UnitDesc; unit_class follows the
+        host-unit protocol (initialize/write_callbacks/process, see
+        units/host_units.py).  Like the reference (units.c:127-133),
+        registration is refused once substates exist, because shared
+        compilers may already have resolved the unit namespace.
+        Returns a UNIT handle exported from the root bank."""
+        st = self.state
+        root = st if st.parent is None else st.parent
+        if root.substates:
+            raise A2Exception(A2Error.ALREADYOPEN,
+                              "cannot register units once substates exist")
+        ss = st.ss
+        for ud in ss.units:
+            if ud.name == desc.name:
+                raise A2Exception(A2Error.ISASSIGNED, desc.name)
+        uindex = len(ss.units)
+        ss.units.append(desc)
+        ss.unit_classes[desc.name] = unit_class
+        ss.custom_units += 1
+        h = ss.hm.new(uindex, A2ObjType.UNIT)
+        bank = ss.hm.get(A2_ROOTBANK).data
+        bank.exports[desc.name] = h
+        return h
+
+    # ===== drivers (engine/drivers.py) =====
+
+    @property
+    def audio_driver(self):
+        return self.state.audio_driver
+
+    def set_midi_driver(self, spec_or_driver, handler_voice=None):
+        """Install a MIDI input driver ("name,opt" spec or instance);
+        optionally bind its handler voice (the alsamididrv.c:73-97
+        contract: events become EP-7 sends)."""
+        from . import drivers as _drv
+        if isinstance(spec_or_driver, str):
+            drv = _drv.new_driver("midi", spec_or_driver, self.state)
+        else:
+            drv = spec_or_driver
+        self.state.midi_driver = drv
+        if handler_voice is not None:
+            drv.bind_handler(self, handler_voice)
+        return drv
+
+    # ===== logging (a2_types.h:86-107, interface.c:916-926) =====
+
+    def log(self, level, msg):
+        """Log through the per-interface level bitmask."""
+        from ..constants import (A2_LOG_ERROR, A2_LOG_CRITICAL,
+                                 A2_LOG_INTERNAL, A2_LOG_WARNING)
+        import sys as _sys
+        if not (self.loglevels & level):
+            return
+        stream = (_sys.stderr if level & (A2_LOG_ERROR | A2_LOG_CRITICAL
+                                          | A2_LOG_INTERNAL
+                                          | A2_LOG_WARNING)
+                  else _sys.stdout)
+        print(msg, file=stream)
+
     def get_state_property(self, name):
         st = self.state
         props = {
@@ -591,6 +678,7 @@ class Interface:
             "cputimemax": st.core.cputimemax,
             "cpuloadavg": st.core.cpuloadavg,
             "cpuloadmax": st.core.cpuloadmax,
+            "loglevels": self.loglevels,
         }
         if name not in props:
             raise A2Exception(A2Error.NOTFOUND, name)
@@ -598,7 +686,9 @@ class Interface:
 
     def set_state_property(self, name, value):
         st = self.state
-        if name == "randseed":
+        if name == "loglevels":
+            self.loglevels = int(value)
+        elif name == "randseed":
             st.randstate.state = value & 0xFFFFFFFF
         elif name == "noiseseed":
             st.noisestate.state = value & 0xFFFFFFFF
@@ -611,9 +701,13 @@ class Interface:
 
 
 def open_engine(samplerate=48000, buffer=1024, channels=2, flags=0,
-                batched=True, use_jax=True):
+                batched=True, use_jax=True, audiodriver=None,
+                mididriver=None, sysdriver=None):
     """a2_Open equivalent: create a master state, returning its
-    interface."""
+    interface.  Driver specs are "name,opt,opt" strings
+    (drivers.c:544) — see engine/drivers.py for the registry."""
     st = State(Config(samplerate, buffer, channels, flags,
-                      batched=batched, use_jax=use_jax))
+                      batched=batched, use_jax=use_jax,
+                      audiodriver=audiodriver, mididriver=mididriver,
+                      sysdriver=sysdriver))
     return st.interface
