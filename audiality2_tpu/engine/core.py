@@ -1189,13 +1189,25 @@ class Core:
         P2: evaluate all rows in one batched dispatch (TPU via JAX, or
         the numpy twin).  P3 (replay): apply writes / row audio / host
         effects in the exact recorded order and fill the output.
+
+        The phases are split so a Farm (farm.py) can merge the row
+        batches of many engine instances into one device dispatch.
         """
+        frags, oplists, rowbatch = self.record_superblock(frames)
+        if rowbatch.n:
+            rows = rowbatch.evaluate(self._atlas, use_jax=self.use_jax)
+        else:
+            rows = None
+        return self.replay_superblock(frames, frags, oplists, rows)
+
+    def record_superblock(self, frames):
+        """P1: run the control plane for the whole buffer, recording
+        the op list and the oscillator row batch."""
         from ..tpu.row_kernel import RowBatch
         st = self.state
         st.now_frames = (st.now_fragstart + (frames << 8)) & _U32
         self.pump_api_messages()
 
-        # ---- P1: record ----
         self.recording = True
         self.rowbatch = RowBatch()
         oplists = []
@@ -1212,16 +1224,13 @@ class Core:
             st.now_fragstart = (st.now_fragstart + (frag << 8)) & _U32
         self.recording = False
         self.oplist = None
-
-        # ---- P2: batched row evaluation ----
-        if self.rowbatch.n:
-            rows = self.rowbatch.evaluate(self._atlas,
-                                          use_jax=self.use_jax)
-        else:
-            rows = None
+        rowbatch = self.rowbatch
         self.rowbatch = None
+        return frags, oplists, rowbatch
 
-        # ---- P3: replay ----
+    def replay_superblock(self, frames, frags, oplists, rows):
+        """P3: apply recorded ops (with evaluated row audio) in
+        order and emit the buffer to the sinks."""
         out = [np.empty(frames, dtype=np.int32)
                for _ in range(self.master.channels)]
         offset = 0
