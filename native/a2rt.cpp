@@ -208,6 +208,10 @@ struct State;
 /* ---- unit instances ---- */
 struct Unit {
     int kind;
+    /* direct process pointer, set at unit_init like the reference's
+       per-instance Process field (a2_units.h) — avoids a switch per
+       (unit, slice) call in the hot voice loop */
+    void (*process)(State *st, Unit *u, int offset, int frames);
     int ninputs, noutputs;
     u32 flags;
     i32 *inputs[MAXCH];
