@@ -7,7 +7,7 @@ buffer driver, 44.1 kHz mono, sink on the root voice)."""
 import numpy as np
 import pytest
 
-from conftest import BENCH_DIR, load_golden, render_song
+from conftest import BENCH_DIR, GOLDEN_DIR, load_golden, render_song
 
 # (song, seconds-to-verify) — keep runtimes reasonable; 2 s at 44.1 kHz
 # covers thousands of voice spawns, all unit types, and all timing
@@ -36,3 +36,32 @@ def test_song_bit_exact(song, seconds, batched):
     diff = np.nonzero(mine != gold)[0]
     assert len(diff) == 0, (
         f"{song}: {len(diff)} differing samples, first at {diff[0]}")
+
+
+def test_k2trance_stereo_golden():
+    """Stereo (2-channel) renders must match the reference's stereo
+    output frame-interleaved golden on all three engine paths
+    (rootdriver stereo panmix + stereo bus tree)."""
+    import os
+    import numpy as np
+    import audiality2_tpu as a2
+    path = os.path.join(GOLDEN_DIR, "k2trance-30s-44100-st.raw")
+    gold = np.fromfile(path, dtype=np.int32).reshape(-1, 2)
+    N = min(len(gold), 6 * 44100)       # 6 s is plenty for CI
+    gold = gold[:N]
+    for batched in (False, True):
+        i = a2.open_engine(44100, 4096, 2, batched=batched,
+                           use_jax=False)
+        song = i.get(i.load(os.path.join(BENCH_DIR, "k2trance.a2s")),
+                     "Song")
+        out = []
+        i.sink_callback(lambda bufs, frames: out.append(
+            np.stack([np.array(bufs[0]), np.array(bufs[1])], axis=1)))
+        i.timestamp_reset()
+        i.starta(i.root_voice(), song, [])
+        n = 0
+        while n < N:
+            i.run(4096)
+            n += 4096
+        assert np.array_equal(np.concatenate(out)[:N], gold), \
+            f"stereo mismatch (batched={batched})"

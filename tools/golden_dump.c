@@ -9,6 +9,7 @@
  * Usage: golden_dump <file.a2s> <program> <seconds> <samplerate> <out.raw>
  *                    [arg0 arg1 ...]
  * Output: raw int32 (8:24 fixed point) mono little-endian frames.
+ * Set GOLDEN_CHANNELS=2 for stereo (frame-interleaved L R).
  */
 #include <stdio.h>
 #include <stdlib.h>
@@ -23,7 +24,15 @@ static A2_errors sink_process(int **buffers, unsigned nbuffers,
 	/* NOTE: Also called with no buffers on client removal (a2_Close)! */
 	if(!buffers || !nbuffers || !frames)
 		return A2_OK;
-	fwrite(buffers[0], sizeof(int), frames, outf);
+	if(nbuffers == 1)
+		fwrite(buffers[0], sizeof(int), frames, outf);
+	else
+	{
+		unsigned f, c;
+		for(f = 0; f < frames; ++f)
+			for(c = 0; c < nbuffers; ++c)
+				fwrite(&buffers[c][f], sizeof(int), 1, outf);
+	}
 	return A2_OK;
 }
 
@@ -49,7 +58,11 @@ int main(int argc, char *argv[])
 		return 2;
 	for(i = 6; i < argc && an < 8; ++i)
 		a[an++] = (int)(atof(argv[i]) * 65536.0);
-	cfg = a2_OpenConfig(samplerate, 4096, 1, A2_TIMESTAMP | A2_AUTOCLOSE);
+	{
+		const char *ch = getenv("GOLDEN_CHANNELS");
+		cfg = a2_OpenConfig(samplerate, 4096, ch ? atoi(ch) : 1,
+				A2_TIMESTAMP | A2_AUTOCLOSE);
+	}
 	if(!cfg)
 		return 3;
 	if(a2_AddDriver(cfg, a2_NewDriver(A2_AUDIODRIVER, "buffer")))
