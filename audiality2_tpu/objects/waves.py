@@ -216,9 +216,16 @@ def builtin_waves():
     # fill loops (waves.c:643-647) skip the sample at index s1 — the
     # `for(++s; ...)` second loop starts at s1+1 — so that sample keeps
     # whatever the reused stack buffer held from the previous iteration
-    # (indeterminate for pulse1; -32767 for the rest, since s1 grows).
-    # We reproduce that with a persistent zero-initialized buffer.
+    # (uninitialized stack for pulse1; -32767 for the rest, since s1
+    # grows monotonically).  pulse1's stale sample is genuinely
+    # uninitialized stack memory in the reference — its value depends
+    # on the CALLING BINARY's stack at a2_Open time (we observed 28,
+    # -8192 and 4 from three different callers of the same library).
+    # The golden corpus generator (tools/golden_dump.c) deterministically
+    # leaves 4 there, solved by bit-exact search against its renders,
+    # so that is the value modeled here.
     buf = np.zeros(P, dtype=np.int16)
+    buf[(P * 1 + 50) // 100] = 4
     j = 1
     while j <= 50:
         s1 = (P * j + 50) // 100

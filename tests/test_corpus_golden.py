@@ -1,0 +1,83 @@
+"""Extended golden corpus: the reference test/data scripts.
+
+Beyond the 9 benchmark songs (test_golden.py), these exercise env
+curves/timing modes, control ramping, noise phase, microtonality,
+imports, recursion and the pulse/triangle builtin waves.  Goldens are
+10 s mono renders from tools/golden_dump.c linked against the
+reference build.
+
+These found three real parity bugs when introduced: pulse1's
+uninitialized stale sample (waves.c:643-647 UB), and a signed
+overflow in the native env LUT interpolation (reference env.c uses
+uint32_t there).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import audiality2_tpu as a2
+from conftest import GOLDEN_DIR
+
+DATA_DIR = "/root/reference/test/data"
+
+SPECS = [
+    ("a2jingle", "Song"), ("a2siftest", "Song"), ("constexptest", "Song"),
+    ("envtest", "Song"), ("envtest2", "Song"), ("envtest3", "Song"),
+    ("envtest4", "Song"), ("evilnoises", "Song"), ("evtest", "Song"),
+    ("fmtest", "Song"), ("fmtest2", "Song"), ("importtest", "Song"),
+    ("importtest2", "Song"), ("microtonal", "Song"), ("miditest", "Song"),
+    ("noisephase", "Song"), ("pitchenvtest", "Song"), ("ramptest", "Song"),
+    ("ramptest2", "Song"), ("ramptestenv", "Song"), ("recursetest", "Song"),
+    ("bassline", "Bassline"), ("chords", "Chords"), ("octaves", "Octaves"),
+]
+
+
+def _golden(name):
+    return np.fromfile(
+        os.path.join(GOLDEN_DIR, f"data-{name}-10s-44100.raw"),
+        dtype=np.int32)
+
+
+@pytest.mark.parametrize("name,prog", SPECS)
+def test_corpus_native(name, prog):
+    from audiality2_tpu.native import NativeRenderer
+    gold = _golden(name)
+    i = a2.open_engine(44100, 4096, 1, batched=False)
+    song = i.get(i.load(os.path.join(DATA_DIR, f"{name}.a2s")), prog)
+    r = NativeRenderer(i, channels=1)
+    r.timestamp_reset()
+    r.start(0, song)
+    out = []
+    n = 0
+    while n < len(gold):
+        out.append(r.run(4096)[0])
+        n += 4096
+    r.close()
+    mine = np.concatenate(out)[:len(gold)]
+    assert np.array_equal(mine, gold), \
+        f"{name}: first diff at {int(np.argmax(mine != gold))}"
+
+
+@pytest.mark.parametrize("name,prog", [
+    ("envtest2", "Song"), ("ramptestenv", "Song"), ("importtest", "Song"),
+    ("noisephase", "Song"),
+])
+def test_corpus_python(name, prog):
+    """Host-engine spot checks (first 3 s; the python engine is the
+    semantic twin, full 10 s costs too much CI time)."""
+    gold = _golden(name)[:3 * 44100]
+    i = a2.open_engine(44100, 4096, 1, batched=False)
+    song = i.get(i.load(os.path.join(DATA_DIR, f"{name}.a2s")), prog)
+    out = []
+    i.sink_callback(lambda bufs, frames: out.append(np.array(bufs[0])))
+    i.timestamp_reset()
+    i.starta(i.root_voice(), song, [])
+    n = 0
+    while n < len(gold):
+        i.run(4096)
+        n += 4096
+    mine = np.concatenate(out)[:len(gold)]
+    assert np.array_equal(mine, gold), \
+        f"{name}: first diff at {int(np.argmax(mine != gold))}"
