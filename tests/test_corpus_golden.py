@@ -60,15 +60,17 @@ def test_corpus_native(name, prog):
         f"{name}: first diff at {int(np.argmax(mine != gold))}"
 
 
+@pytest.mark.parametrize("batched", [False, True])
 @pytest.mark.parametrize("name,prog", [
     ("envtest2", "Song"), ("ramptestenv", "Song"), ("importtest", "Song"),
     ("noisephase", "Song"),
 ])
-def test_corpus_python(name, prog):
-    """Host-engine spot checks (first 3 s; the python engine is the
-    semantic twin, full 10 s costs too much CI time)."""
+def test_corpus_python(name, prog, batched):
+    """Host-engine spot checks, interleaved + batched record/replay
+    (first 3 s; full 10 s costs too much CI time)."""
     gold = _golden(name)[:3 * 44100]
-    i = a2.open_engine(44100, 4096, 1, batched=False)
+    i = a2.open_engine(44100, 4096, 1, batched=batched,
+                       use_jax=False)
     song = i.get(i.load(os.path.join(DATA_DIR, f"{name}.a2s")), prog)
     out = []
     i.sink_callback(lambda bufs, frames: out.append(np.array(bufs[0])))
