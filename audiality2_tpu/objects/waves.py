@@ -110,8 +110,11 @@ class Wave:
             elif fmt == SampleFormat.I32:
                 out = arr.astype(np.int32) >> 16
             elif fmt == SampleFormat.F32:
-                # C float->int16_t conversion truncates toward zero
-                out = np.trunc(arr.astype(np.float64) * 32767.0).astype(np.int64)
+                # C float->int16_t conversion truncates toward zero;
+                # the product is computed in float32 like the reference
+                out = np.trunc((arr.astype(np.float32)
+                                * np.float32(32767.0)).astype(np.float64)
+                               ).astype(np.int64)
             else:
                 raise A2Exception(A2Error.BADFORMAT)
         else:
@@ -126,8 +129,11 @@ class Wave:
                 g *= 32767.0
             elif fmt != SampleFormat.I16:
                 raise A2Exception(A2Error.BADFORMAT)
-            # reference multiplies in float then int16-converts (truncation)
-            out = np.trunc(arr.astype(np.float64) * np.float32(g)).astype(np.int64)
+            # reference multiplies in float32 then int16-converts
+            # (truncation toward zero)
+            out = np.trunc((arr.astype(np.float32)
+                            * np.float32(g)).astype(np.float64)
+                           ).astype(np.int64)
         d[o:o + length] = out.astype(np.int16)
 
     def postprocess(self):
