@@ -35,3 +35,24 @@ def test_upload_format_conversions():
         mine = i.get_wave(wh).data[0][1:1 + N]
         assert np.array_equal(mine, exp[k]), fmt.name
         i.release(wh)
+
+
+def test_upload_postprocess_and_normalize():
+    """XFADE/REVMIX loop post-processing (waves.c:310-346) and
+    A2_NORMALIZE gain (waves.c:241-306) vs reference probe dumps."""
+    from audiality2_tpu.objects.waves import (A2_LOOPED, A2_NORMALIZE,
+                                              A2_REVMIX, A2_XFADE)
+    inp = np.frombuffer(
+        open(os.path.join(GOLDEN_DIR, "upconv2_in.bin"), "rb").read(),
+        dtype=np.int16)
+    exp = np.frombuffer(
+        open(os.path.join(GOLDEN_DIR, "upconv2_out.bin"), "rb").read(),
+        dtype=np.int16).reshape(5, N)
+    flagsets = [A2_XFADE, A2_REVMIX, A2_NORMALIZE,
+                A2_NORMALIZE | A2_XFADE, A2_LOOPED | A2_XFADE]
+    i = a2.open_engine(44100, 1024, 1)
+    for k, fl in enumerate(flagsets):
+        wh = i.upload_wave(WaveType.WAVE, 0, fl, SampleFormat.I16, inp)
+        mine = i.get_wave(wh).data[0][1:1 + N]
+        assert np.array_equal(mine, exp[k]), f"flagset {k}"
+        i.release(wh)
