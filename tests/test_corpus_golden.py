@@ -83,3 +83,42 @@ def test_corpus_python(name, prog, batched):
     mine = np.concatenate(out)[:len(gold)]
     assert np.array_equal(mine, gold), \
         f"{name}: first diff at {int(np.argmax(mine != gold))}"
+
+
+@pytest.mark.parametrize("name", ["ragingfire", "megastrings",
+                                  "rendertest"])
+def test_renderwave_scripts_cross_engine(name):
+    """Scripts whose wave{} definitions need a2_RenderWave — which the
+    REFERENCE's offline configs refuse (NOTIMPLEMENTED), so no golden
+    exists.  This engine implements compile-time wave rendering; the
+    python and native engines must agree bit-exactly and produce
+    audio."""
+    from audiality2_tpu.native import NativeRenderer
+    path = os.path.join(DATA_DIR, f"{name}.a2s")
+    N = 2 * 44100
+    i = a2.open_engine(44100, 4096, 1, batched=False)
+    song = i.get(i.load(path), "Song")
+    out = []
+    i.sink_callback(lambda bufs, frames: out.append(np.array(bufs[0])))
+    i.timestamp_reset()
+    i.starta(i.root_voice(), song, [])
+    n = 0
+    while n < N:
+        i.run(4096)
+        n += 4096
+    py = np.concatenate(out)[:N]
+
+    i2 = a2.open_engine(44100, 4096, 1, batched=False)
+    song2 = i2.get(i2.load(path), "Song")
+    r = NativeRenderer(i2, channels=1)
+    r.timestamp_reset()
+    r.start(0, song2)
+    out2 = []
+    n = 0
+    while n < N:
+        out2.append(r.run(4096)[0])
+        n += 4096
+    r.close()
+    nat = np.concatenate(out2)[:N]
+    assert np.array_equal(py, nat)
+    assert np.abs(py).max() > 0
