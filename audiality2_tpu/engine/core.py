@@ -144,6 +144,12 @@ class Core:
         self.cpuloadavg = 0
         self.cpuloadmax = 0
         self.apimsgs = []                # pending API messages (events)
+        self.tsstatreset = False
+        self.tssamples = 0
+        self.tssum = 0
+        self.tsavg = 0
+        self.tsmin = 0x7FFFFFFF
+        self.tsmax = -0x80000000
         self.master = Bus(state.config.channels if state.config.channels
                           >= 2 else 1)
         self.scratch = [None] * A2_NESTLIMIT
@@ -1275,7 +1281,15 @@ class Core:
         return frames
 
     def pump_api_messages(self):
-        latelimit = self.state.now_frames  # same convention as reference
+        # timestamp deadline margin statistics (interface.c:146-155,
+        # core.c:1939-1958): per message, tsdiff vs the late limit;
+        # avg recomputed per buffer; reset requested via properties
+        if self.tsstatreset:
+            self.tsstatreset = False
+            self.tssamples = 0
+            self.tssum = 0
+            self.tsmin = 0x7FFFFFFF
+            self.tsmax = -0x80000000
         msgs = self.apimsgs
         self.apimsgs = []
         for target, e in msgs:
@@ -1284,10 +1298,19 @@ class Core:
             if q is None:
                 self.rt_error(A2Error.BADVOICE, "pump")
                 continue
-            if tsdiff(e.timestamp, self._pump_latelimit()) < 0:
+            td = tsdiff(e.timestamp, self._pump_latelimit())
+            if td < self.tsmin:
+                self.tsmin = td
+            if td > self.tsmax:
+                self.tsmax = td
+            self.tssum += td >> 8
+            self.tssamples += 1
+            if td < 0:
                 self.rt_error(A2Error.LATEMESSAGE, "pump")
                 e.timestamp = self._pump_latelimit()
             send_event(q, e)
+        if self.tssamples:
+            self.tsavg = (self.tssum << 8) // self.tssamples
 
     def _pump_latelimit(self):
         # The reference pumps with latelimit = previous now_frames; for

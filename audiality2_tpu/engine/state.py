@@ -679,6 +679,9 @@ class Interface:
             "cpuloadavg": st.core.cpuloadavg,
             "cpuloadmax": st.core.cpuloadmax,
             "loglevels": self.loglevels,
+            "tsmarginavg": st.core.tsavg if st.core.tssamples else 0,
+            "tsmarginmin": st.core.tsmin if st.core.tssamples else 0,
+            "tsmarginmax": st.core.tsmax if st.core.tssamples else 0,
         }
         if name not in props:
             raise A2Exception(A2Error.NOTFOUND, name)
@@ -688,6 +691,8 @@ class Interface:
         st = self.state
         if name == "loglevels":
             self.loglevels = int(value)
+        elif name in ("tsmarginavg", "tsmarginmin", "tsmarginmax"):
+            self.state.core.tsstatreset = True   # any write resets
         elif name == "randseed":
             st.randstate.state = value & 0xFFFFFFFF
         elif name == "noiseseed":

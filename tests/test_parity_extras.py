@@ -192,3 +192,23 @@ def test_late_message_clamped():
     out = _drain(i, 0.1)
     assert i.state.last_rt_error == A2Error.LATEMESSAGE
     assert np.abs(out).max() > 0         # clamped to "now", still played
+
+
+def test_tsmargin_stats():
+    """Timestamp deadline margin statistics (a2_properties.h:89-91,
+    measured per pumped message like interface.c:146-155)."""
+    i = _engine()
+    h = i.load_string("export P() { struct { wtosc } w sine; a .5;"
+                      " set a; d 500; end }\n")
+    i.run(1024)
+    i.timestamp_reset()
+    i.timestamp_bump(2048 << 8)
+    i.starta(i.root_voice(), i.get(h, "P"), [])
+    i.run(1024)
+    # message was 2048 frames (24:8 = 2048<<8) ahead of the deadline
+    assert i.get_state_property("tsmarginmin") == 2048 << 8
+    assert i.get_state_property("tsmarginmax") == 2048 << 8
+    assert i.get_state_property("tsmarginavg") == 2048 << 8
+    i.set_state_property("tsmarginavg", 0)      # any write resets
+    i.run(1024)
+    assert i.get_state_property("tsmarginavg") == 0
