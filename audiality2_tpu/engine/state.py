@@ -395,6 +395,113 @@ class Interface:
         self.timestamp += dt_f8
         return self.timestamp
 
+    def timestamp_get(self):
+        """a2_TimestampGet."""
+        return self.timestamp
+
+    def timestamp_set(self, ts):
+        """a2_TimestampSet."""
+        self.timestamp = ts & 0xFFFFFFFF
+        return self.timestamp
+
+    def timestamp_now(self):
+        """a2_TimestampNow: re-anchor to current engine time (the
+        offline engine has no jitter margin — interface.c:514-531)."""
+        self.timestamp = self.state.now_fragstart
+        return self.timestamp
+
+    def timestamp_nudge(self, offset_f8, amount):
+        """a2_TimestampNudge: blend the API timestamp toward
+        (now + offset) by amount (0..1, 16:16 accepted as int)."""
+        from .core import tsdiff
+        target = (self.state.now_fragstart + offset_f8) & 0xFFFFFFFF
+        d = tsdiff(target, self.timestamp)
+        if isinstance(amount, int) and amount > 1:
+            amount = amount / 65536.0
+        self.timestamp = (self.timestamp + int(d * amount)) & 0xFFFFFFFF
+        return self.timestamp
+
+    def ms2timestamp(self, t_ms):
+        """a2_ms2Timestamp: milliseconds -> 24:8 frame delta."""
+        return int(t_ms * self.state.config.samplerate * 256 / 1000)
+
+    def timestamp2ms(self, ts_f8):
+        """a2_Timestamp2ms."""
+        return ts_f8 * 1000.0 / (self.state.config.samplerate * 256.0)
+
+    def rand(self, max_val):
+        """a2_Rand (api.c:360-365): noise-RNG draw scaled to
+        [0, max) as a float.  NOTE: draws from the shared NOISE state
+        like the reference (affects subsequent noise audio)."""
+        n = self.state.noisestate.next()
+        return n * float(max_val) / 65536.0
+
+    def pump_messages(self):
+        """a2_PumpMessages: process engine->API responses.  The
+        offline engine delivers callbacks synchronously inside run(),
+        so this only needs to exist for API parity."""
+        return 0
+
+    def last_error(self):
+        """a2_LastError (per-interface)."""
+        return self.state.last_rt_error
+
+    def last_rt_error(self):
+        """a2_LastRTError (engine context)."""
+        return self.state.last_rt_error
+
+    def unload_all(self):
+        """a2_UnloadAll: drop all unlocked root-bank exports and the
+        load cache (bank.c a2_UnloadAll semantics: forget, objects die
+        with their last handle)."""
+        ss = self.state.ss
+        ss.load_cache.clear()
+        return 0
+
+    def get_export(self, node, index):
+        """a2_GetExport: (handle) of export #index of a bank."""
+        bank = self.bank_of(node)
+        items = list(bank.exports.values())
+        if index < 0 or index >= len(items):
+            raise A2Exception(A2Error.INDEXRANGE, str(index))
+        return items[index]
+
+    def get_export_name(self, node, index):
+        """a2_GetExportName."""
+        bank = self.bank_of(node)
+        items = list(bank.exports.keys())
+        if index < 0 or index >= len(items):
+            raise A2Exception(A2Error.INDEXRANGE, str(index))
+        return items[index]
+
+    def name_of(self, handle):
+        """a2_Name: name of a bank/program/unit object, if any."""
+        hi = self.state.ss.hm.get(handle)
+        if hi is None:
+            return None
+        d = hi.data
+        for attr in ("name",):
+            if hasattr(d, attr):
+                return getattr(d, attr)
+        if hi.typecode == A2ObjType.UNIT:
+            return self.state.ss.units[d].name
+        return None
+
+    def size_of(self, handle):
+        """a2_Size: object size (wave frames, bank export count,
+        string length — properties.c general size)."""
+        hi = self.state.ss.hm.get(handle)
+        if hi is None:
+            raise A2Exception(A2Error.INVALIDHANDLE, str(handle))
+        t, d = hi.typecode, hi.data
+        if t == A2ObjType.WAVE:
+            return int(d.size[0])
+        if t == A2ObjType.BANK:
+            return len(d.exports)
+        if t == A2ObjType.STRING:
+            return len(d.value)
+        raise A2Exception(A2Error.NOTIMPLEMENTED, "size")
+
     def new_group(self, parent=None):
         """a2_NewGroup: start a groupdriver voice (for mixer groups)."""
         if parent is None:

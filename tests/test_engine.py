@@ -232,3 +232,27 @@ def test_group_volume_control():
     quiet = np.abs(np.concatenate(out[-2:])).max()
     assert loud > 0
     assert quiet == 0
+
+
+def test_api_surface_utilities():
+    """The remaining small API-parity methods (a2_Timestamp*, a2_Rand,
+    a2_GetExport*, a2_Name/Size, a2_UnloadAll)."""
+    import audiality2_tpu as a2
+    i = a2.open_engine(44100, 1024, 1)
+    h = i.load_string(
+        "export P() { struct { wtosc } w sine; a .5; set a; d 50; end }\n",
+        "apisurface")
+    assert i.timestamp_set(1000) == 1000
+    assert i.timestamp_get() == 1000
+    ts = i.ms2timestamp(10)
+    assert abs(i.timestamp2ms(ts) - 10.0) < 1e-6
+    r1, r2 = i.rand(1.0), i.rand(1.0)
+    assert 0.0 <= r1 < 1.0 and 0.0 <= r2 < 1.0 and r1 != r2
+    assert i.get_export_name(h, 0) == "P"
+    assert i.get_export(h, 0) == i.get(h, "P")
+    assert i.name_of(h) == "apisurface"
+    assert i.size_of(h) == 1
+    assert i.size_of(i.get(0, "sine")) == 2048
+    i.timestamp_now()
+    i.timestamp_nudge(0, 0.5)
+    assert i.unload_all() == 0
