@@ -118,12 +118,17 @@ def main(argv=None):
         use_native = False        # MIDI driver runs on the host engine
     if use_native:
         from .native import NativeRenderer
-        renderer = NativeRenderer(i, channels=1)
+        renderer = NativeRenderer(i, channels=args.channels)
         renderer.timestamp_reset()
         renderer.start(0, prog, *[float(a) for a in pargs])
     else:
-        i.sink_callback(lambda bufs, frames: out.append(
-            np.array(bufs[0])))
+        if args.channels == 1:
+            i.sink_callback(lambda bufs, frames: out.append(
+                np.array(bufs[0])))
+        else:
+            i.sink_callback(lambda bufs, frames: out.append(
+                np.stack([np.array(b) for b in
+                          bufs[:args.channels]], axis=1).reshape(-1)))
         i.timestamp_reset()
         vh = i.starta(i.root_voice(), prog, [int(a * 65536)
                                              for a in pargs])
@@ -138,7 +143,10 @@ def main(argv=None):
     n = 0
     while n < total:
         if renderer is not None:
-            out.append(renderer.run(4096)[0])
+            b = renderer.run(4096)
+            out.append(b[0] if args.channels == 1 else
+                       np.stack(list(b[:args.channels]), axis=1)
+                       .reshape(-1))
         else:
             i.run(4096)
         n += 4096
@@ -152,11 +160,11 @@ def main(argv=None):
                 break
     dt = time.perf_counter() - t0
     audio = np.concatenate(out)
-    secs = len(audio) / args.rate
+    secs = len(audio) / args.rate / args.channels
     print(f"a2play-tpu: rendered {len(audio)} frames "
           f"({secs:.2f} s) in {dt:.2f} s ({secs / dt:.1f}x realtime)")
     if args.output:
-        write_wav(args.output, audio, args.rate, 1)
+        write_wav(args.output, audio, args.rate, args.channels)
         print(f"a2play-tpu: wrote {args.output}")
     return 0
 
