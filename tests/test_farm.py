@@ -54,3 +54,41 @@ def test_farm_requires_batched():
     i = a2.open_engine(44100, 1024, 1, batched=False)
     with pytest.raises(ValueError):
         Farm([i])
+
+
+def test_farm_tpu_device_dispatch():
+    """End-to-end device validation: a 6-engine farm crosses
+    JAX_MIN_ROWS in k2trance's busy section, so row evaluation runs
+    on the real TPU — output must stay bit-exact with the numpy twin.
+    Gated: needs a TPU backend and ~2 min (jit compile)."""
+    import os
+    import jax
+    import pytest
+    if jax.default_backend() != "tpu":
+        pytest.skip("needs a TPU backend")
+    if not os.environ.get("A2_TPU_TESTS"):
+        pytest.skip("set A2_TPU_TESTS=1 to run (jit compile ~1 min)")
+    from audiality2_tpu.tpu import row_kernel as RK
+    K = 6
+    f_np = Farm([_mk(SONG) for _ in range(K)])
+    f_tpu = Farm([_mk(SONG) for _ in range(K)])
+    for _ in range(int(12 * 44100 / 4096)):       # skip sparse intro
+        f_np.run(4096, use_jax=False)
+        f_tpu.run(4096, use_jax=False)
+    hit = []
+    orig = RK.RowBatch.evaluate
+
+    def spy(self, atlas, use_jax=True):
+        hit.append(bool(use_jax and self.n >= self.JAX_MIN_ROWS))
+        return orig(self, atlas, use_jax=use_jax)
+
+    RK.RowBatch.evaluate = spy
+    try:
+        for _ in range(3):
+            r_np = f_np.run(4096, use_jax=False)
+            r_tpu = f_tpu.run(4096, use_jax=True)
+            for k in range(K):
+                assert np.array_equal(r_np[k][0], r_tpu[k][0])
+    finally:
+        RK.RowBatch.evaluate = orig
+    assert any(hit), "device path never engaged"
