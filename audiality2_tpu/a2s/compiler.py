@@ -1921,7 +1921,9 @@ class Compiler:
             self.throw(A2Error.SYMBOLDEF)
         elif tk == Tok.NAME:
             if self.lex() != ord('('):
-                self.throw(A2Error.NEXPNAME)
+                # reference surfaces this as "Undefined symbol" at the
+                # offending token (unknown name used as a register)
+                self.throw(A2Error.UNDEFSYM)
             sym = self.grab_symbol(self.l[1])
             if self.coder and self.coder.program:
                 self.funcdef(sym)

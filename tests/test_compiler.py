@@ -133,3 +133,23 @@ def test_builtin_square_alias():
     sq = i.get(0, "square")
     p50 = i.get(0, "pulse50")
     assert sq == p50
+
+
+def test_error_codes_match_reference():
+    """Error codes verified against the reference binary's output for
+    the same inputs (a2_ErrorString names)."""
+    cases = [
+        ('export P() { q 1; end }', "UNDEFSYM"),
+        ('export P() { foo 1; end }', "UNDEFSYM"),
+        ('export P() { q (1 + 1); end }', "EXPNAME"),
+        ('export P() { struct { wtosc } 1() { a 1 } a 0; end }',
+         "NOCODE"),
+        ('export P() { 1() { d 10 } end }', "NOTIMING"),
+        ('export def A (1 -1)', "EXPOP"),
+        ('export P() { end } export P() { end }', "EXPEOS"),
+    ]
+    i = a2.open_engine(44100, 1024, 1)
+    for src, code in cases:
+        with pytest.raises(A2CompileError) as e:
+            i.load_string(src + "\n", "errcase")
+        assert e.value.code.name == code, src
