@@ -256,3 +256,27 @@ def test_api_surface_utilities():
     i.timestamp_now()
     i.timestamp_nudge(0, 0.5)
     assert i.unload_all() == 0
+
+
+def test_runtime_error_codes():
+    """Engine-context error parity: BADVOICE for messages to dead
+    voices (interface.c error path), DIVBYZERO from the VM DIVR
+    instruction (core.c)."""
+    import audiality2_tpu as a2
+    from audiality2_tpu.errors import A2Error
+    i = a2.open_engine(44100, 1024, 1)
+    h = i.load_string("export P() { struct { wtosc } w sine; a .5;"
+                      " set a; d 200; end }\n")
+    v = i.starta(i.root_voice(), i.get(h, "P"), [])
+    i.run(1024)
+    i.kill(v)
+    for _ in range(4):
+        i.run(1024)
+    i.send(v, 1)
+    i.run(1024)
+    assert i.state.last_rt_error == A2Error.BADVOICE
+    h2 = i.load_string("export D() { !x 0; !y 1; /y x; end }\n")
+    i.starta(i.root_voice(), i.get(h2, "D"), [])
+    for _ in range(3):
+        i.run(1024)
+    assert i.state.last_rt_error == A2Error.DIVBYZERO
