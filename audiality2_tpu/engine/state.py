@@ -146,8 +146,14 @@ class State:
         else:
             self.ss = SharedState()
         self.samplerate = self.config.samplerate
-        # One ms in sample frames (16:16) — interface.c msdur
-        self.msdur = int(self.config.samplerate * 65.536 + 0.5)
+        # One ms in sample frames (16:16).  The reference computes
+        # this in FLOAT32 (audiality2.c:499 `samplerate * 65.536f +
+        # .5f`), which differs from double math at some rates (96 kHz:
+        # 6291457 vs 6291456) — discovered via 96 kHz goldens.
+        import numpy as _np
+        self.msdur = int(_np.float32(_np.float32(self.config.samplerate)
+                                     * _np.float32(65.536))
+                         + _np.float32(0.5))
         self.randstate = NoiseState(A2_DEFAULT_RANDSEED)
         self.noisestate = NoiseState(A2_DEFAULT_NOISESEED)
         self.now_fragstart = 0        # 24:8 frames

@@ -218,15 +218,21 @@ class WtoscUnit(HostUnit):
         self.phase = (ph * self.wave.period << 8) & _U64
 
     def _run_pitch(self, frames):
-        """wtosc_run_pitch (wtosc.c:89-105); see pitch-sum analysis in
-        fixmath.p2i for why plain signed arithmetic matches x86."""
+        """wtosc_run_pitch (wtosc.c:89-105).  The reference's midpoint
+        variable is unsigned, so the pitch sum shifts LOGICALLY (u32
+        bit pattern >> 9) before a2_P2I reinterprets it — the result
+        is always a non-negative "pitch" (< 2^23) whose octave falls
+        into a2_P2I's x86 masked-shift region.  Signed arithmetic
+        happens to produce identical dphase at 44.1/48/22.05 kHz
+        basepitches but audibly diverges at 96 kHz (caught by the
+        96 kHz golden)."""
         self.p.prepare(frames)
         if self.dphase and not self.p.timer and not self.p_ramping:
             return
         lastv = self.p.value
         self.p.run(frames)
         self.p_ramping = self.p.delta
-        self.dphase = p2i(sat32(lastv + self.p.value) >> 9)
+        self.dphase = p2i(((lastv + self.p.value) & 0xFFFFFFFF) >> 9)
 
     def process(self, offset, frames):
         m = self.mode
@@ -966,7 +972,10 @@ class EnvUnit(HostUnit):
     def initialize(self, flags):
         self.flags = flags
         cfg = self.state.config
-        self.msdur = int(cfg.samplerate * 65.536 + 0.5)
+        # float32 like audiality2.c:499 (see engine/state.py)
+        self.msdur = int(np.float32(np.float32(cfg.samplerate)
+                                    * np.float32(65.536))
+                         + np.float32(0.5))
         self.ramper = Ramper(0)
         self.out = 0
         self.scale = 0

@@ -448,7 +448,9 @@ State *a2rt_new(int samplerate, int channels, i32 basepitch,
     st->samplerate = samplerate;
     st->channels = channels < 1 ? 1 : channels;
     st->basepitch = basepitch;
-    st->msdur = (i64)(samplerate * 65.536 + 0.5);
+    /* FLOAT32 like the reference (audiality2.c:499): differs from
+       double math at e.g. 96 kHz (6291457 vs 6291456) */
+    st->msdur = (i64)(float)((float)samplerate * 65.536f + .5f);
     st->randstate = randseed;
     st->noisestate = noiseseed;
     st->master = new Bus(st->channels >= 2 ? st->channels : 1);

@@ -4,6 +4,8 @@ bit-for-bit on offline renders of the benchmark corpus.
 Goldens were produced with tools/golden_dump.c (reference engine,
 buffer driver, 44.1 kHz mono, sink on the root voice)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -65,3 +67,32 @@ def test_k2trance_stereo_golden():
             n += 4096
         assert np.array_equal(np.concatenate(out)[:N], gold), \
             f"stereo mismatch (batched={batched})"
+
+
+def test_k2trance_multirate_golden():
+    """Sample-rate generalization: basepitch/msdur float32 paths
+    differ per rate (audiality2.c:397-399, 499).  The 96 kHz case
+    caught two real bugs: float32 msdur (6291457 vs double's 6291456)
+    and is kept as a regression golden alongside 48 k / 22.05 k."""
+    import numpy as np
+    import audiality2_tpu as a2
+    from audiality2_tpu.native import NativeRenderer
+    for rate in (48000, 22050, 96000):
+        path = os.path.join(GOLDEN_DIR, f"k2trance-10s-{rate}.raw")
+        gold = np.fromfile(path, dtype=np.int32)
+        N = min(len(gold), 4 * rate)
+        gold = gold[:N]
+        i = a2.open_engine(rate, 4096, 1, batched=False)
+        song = i.get(i.load(os.path.join(BENCH_DIR, "k2trance.a2s")),
+                     "Song")
+        r = NativeRenderer(i, channels=1)
+        r.timestamp_reset()
+        r.start(0, song)
+        out = []
+        n = 0
+        while n < N:
+            out.append(r.run(4096)[0])
+            n += 4096
+        r.close()
+        mine = np.concatenate(out)[:N]
+        assert np.array_equal(mine, gold), f"rate {rate}"
