@@ -449,8 +449,12 @@ State *a2rt_new(int samplerate, int channels, i32 basepitch,
     st->channels = channels < 1 ? 1 : channels;
     st->basepitch = basepitch;
     /* FLOAT32 like the reference (audiality2.c:499): differs from
-       double math at e.g. 96 kHz (6291457 vs 6291456) */
-    st->msdur = (i64)(float)((float)samplerate * 65.536f + .5f);
+       double math at e.g. 96 kHz (6291457 vs 6291456).  volatile
+       blocks FMA contraction — the reference's baseline x86-64 build
+       rounds the product BEFORE adding .5f, and the fused single
+       rounding differs at 192 kHz (12582913 vs 12582914). */
+    volatile float msd = (float)samplerate * 65.536f;
+    st->msdur = (i64)(float)(msd + .5f);
     st->randstate = randseed;
     st->noisestate = noiseseed;
     st->master = new Bus(st->channels >= 2 ? st->channels : 1);

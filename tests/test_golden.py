@@ -77,8 +77,10 @@ def test_k2trance_multirate_golden():
     import numpy as np
     import audiality2_tpu as a2
     from audiality2_tpu.native import NativeRenderer
-    for rate in (48000, 22050, 96000):
-        path = os.path.join(GOLDEN_DIR, f"k2trance-10s-{rate}.raw")
+    for rate in (48000, 22050, 96000, 192000):
+        secs = 5 if rate == 192000 else 10
+        path = os.path.join(GOLDEN_DIR,
+                            f"k2trance-{secs}s-{rate}.raw")
         gold = np.fromfile(path, dtype=np.int32)
         N = min(len(gold), 4 * rate)
         gold = gold[:N]
