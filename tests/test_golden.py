@@ -98,3 +98,52 @@ def test_k2trance_multirate_golden():
         r.close()
         mine = np.concatenate(out)[:N]
         assert np.array_equal(mine, gold), f"rate {rate}"
+
+
+def test_k2trance_odd_chunk_golden():
+    """The reference's audio callback restarts its <=64-frame fragment
+    loop per callback (core.c:1964-1973), so non-64-multiple run sizes
+    change control-timing quantization — and the output.  The engine
+    reproduces that faithfully: run(431) matches a golden rendered
+    with a2_Run(431)."""
+    import numpy as np
+    import audiality2_tpu as a2
+    from audiality2_tpu.native import NativeRenderer
+    path = os.path.join(GOLDEN_DIR, "k2trance-5s-44100-chunk431.raw")
+    gold = np.fromfile(path, dtype=np.int32)[:3 * 44100]
+    i = a2.open_engine(44100, 4096, 1, batched=False)
+    song = i.get(i.load(os.path.join(BENCH_DIR, "k2trance.a2s")),
+                 "Song")
+    r = NativeRenderer(i, channels=1)
+    r.timestamp_reset()
+    r.start(0, song)
+    out = []
+    n = 0
+    while n < len(gold):
+        out.append(r.run(431)[0])
+        n += 431
+    r.close()
+    assert np.array_equal(np.concatenate(out)[:len(gold)], gold)
+
+
+def test_k2trance_args_golden():
+    """Program-argument marshalling parity: Song P=0 V=0.5 (16:16
+    args through a2_Starta) vs a reference golden with those args."""
+    import numpy as np
+    import audiality2_tpu as a2
+    from audiality2_tpu.native import NativeRenderer
+    path = os.path.join(GOLDEN_DIR, "k2trance-5s-44100-args.raw")
+    gold = np.fromfile(path, dtype=np.int32)[:3 * 44100]
+    i = a2.open_engine(44100, 4096, 1, batched=False)
+    song = i.get(i.load(os.path.join(BENCH_DIR, "k2trance.a2s")),
+                 "Song")
+    r = NativeRenderer(i, channels=1)
+    r.timestamp_reset()
+    r.start(0, song, 0.0, 0.5)
+    out = []
+    n = 0
+    while n < len(gold):
+        out.append(r.run(4096)[0])
+        n += 4096
+    r.close()
+    assert np.array_equal(np.concatenate(out)[:len(gold)], gold)

@@ -89,11 +89,15 @@ int main(int argc, char *argv[])
 		return 9;
 	}
 	frames = (int)(seconds * samplerate);
-	while(frames > 0)
 	{
-		a2_Run(iface, 4096);
-		a2_PumpMessages(iface);
-		frames -= 4096;
+		const char *cs = getenv("GOLDEN_CHUNK");
+		int chunk = cs ? atoi(cs) : 4096;
+		while(frames > 0)
+		{
+			a2_Run(iface, chunk);
+			a2_PumpMessages(iface);
+			frames -= chunk;
+		}
 	}
 	fclose(outf);
 	a2_Close(iface);
