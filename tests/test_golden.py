@@ -147,3 +147,18 @@ def test_k2trance_args_golden():
         n += 4096
     r.close()
     assert np.array_equal(np.concatenate(out)[:len(gold)], gold)
+
+
+def test_a2_render_golden():
+    """a2_Render parity (render.c:34-126): offline substate render of
+    k2trance, compared to a reference probe that streamed a2_Render
+    output into a wave (A2_I24 conversion: 8:24 >> 8 to int16)."""
+    import numpy as np
+    import audiality2_tpu as a2
+    path = os.path.join(GOLDEN_DIR, "k2trance-render-2s-44100.raw")
+    gold = np.fromfile(path, dtype=np.int16)
+    i = a2.open_engine(44100, 4096, 1, batched=False)
+    song = i.get(i.load(os.path.join(BENCH_DIR, "k2trance.a2s")),
+                 "Song")
+    audio = np.asarray(i.render(song, length=len(gold)))
+    assert np.array_equal((audio >> 8).astype(np.int16), gold)
