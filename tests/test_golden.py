@@ -82,6 +82,7 @@ def test_k2trance_multirate_golden():
         path = os.path.join(GOLDEN_DIR,
                             f"k2trance-{secs}s-{rate}.raw")
         gold = np.fromfile(path, dtype=np.int32)
+        # (additional rate coverage for other songs below)
         N = min(len(gold), 4 * rate)
         gold = gold[:N]
         i = a2.open_engine(rate, 4096, 1, batched=False)
@@ -162,3 +163,28 @@ def test_a2_render_golden():
                  "Song")
     audio = np.asarray(i.render(song, length=len(gold)))
     assert np.array_equal((audio >> 8).astype(np.int16), gold)
+
+
+def test_multirate_other_songs():
+    """Rate matrix beyond k2trance: pulsetronic at 96 kHz (noise +
+    non-mip waves), fmtest3 at 192 kHz (FM stacks + fbdelay)."""
+    import numpy as np
+    import audiality2_tpu as a2
+    from audiality2_tpu.native import NativeRenderer
+    for name, rate in (("pulsetronic", 96000), ("fmtest3", 192000)):
+        path = os.path.join(GOLDEN_DIR, f"{name}-5s-{rate}.raw")
+        gold = np.fromfile(path, dtype=np.int32)[:2 * rate]
+        i = a2.open_engine(rate, 4096, 1, batched=False)
+        song = i.get(i.load(os.path.join(BENCH_DIR, f"{name}.a2s")),
+                     "Song")
+        r = NativeRenderer(i, channels=1)
+        r.timestamp_reset()
+        r.start(0, song)
+        out = []
+        n = 0
+        while n < len(gold):
+            out.append(r.run(4096)[0])
+            n += 4096
+        r.close()
+        assert np.array_equal(np.concatenate(out)[:len(gold)], gold), \
+            f"{name}@{rate}"
