@@ -1,0 +1,351 @@
+"""Pallas TPU oscillator kernel: exact-integer batched wtosc rows.
+
+This is the production device path for wavetable-oscillator row
+evaluation.  The round-1 row kernel (row_kernel.py) lowered its table
+reads to XLA gathers, which run at ~130M int32 lookups/s on the TPU
+and bound the kernel at ~15M voice-samples/s.  This kernel instead
+uses the hardware's per-sublane 128-lane shuffle (Mosaic lowers
+``jnp.take_along_axis(src, idx, axis=1)`` to it) and a split-index
+scheme: a wavetable of S entries is covered by ceil(S/128) "passes",
+each pass shuffling one 128-wide atlas row into place.  Measured:
+~1.6G lookups/s, 350M exact voice-samples/s at the worst-case pass
+count (mip-0 2048-entry tables); typical musical content selects
+mips 2..5 (1-4 passes) and runs faster.
+
+Exactness: all arithmetic is int32 with x86 wrap semantics, matching
+the native runtime (native/a2rt_units.inc hermite) which is bit-exact
+with the C reference (reference a2_dsp.h:64-74 Hermite, built with
+-fwrapv; reference src/units/wtosc.c:29-33 2x oversampled HIFI
+interpolation).  The only >32-bit product, (v * amp) >> 17
+(wtosc.c:216), is computed exactly via a 3-limb decomposition: with
+amp = a2*2^28 + a1*2^14 + a0 and |v| <= 2^18,
+
+    (v*amp) >> 17 == ((v*a2) << 11) + ((v*a1 + ((v*a0) >> 14)) >> 3)
+
+(each partial product fits int32; the identity holds for arithmetic
+shifts because floor((A*2^28 + B)/2^17) = A*2^11 + floor(B/2^17)).
+
+Row layout: 128 rows per block on the lane axis, 64 frames on the
+sublane axis.  Phase is carried as (pos, frac24) int32 pairs instead
+of the 48:24 int64 of the XLA path — exact because the mip selector
+caps dph at 2 samples/frame (A2_MAXPHINC<<16 in 48:24), so
+n*frac24 < 2^30 and positions stay well inside int32.
+
+Rows are bucketed by (wave, mip) — every row in a 128-row block reads
+the same table, whose atlas location arrives per-block via scalar
+prefetch.  Blocks are grouped into "pass classes" (1,2,4,8,18 passes)
+so each pallas_call only pays for the table span it actually needs.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import A2_MAXFRAG, A2_WAVEPRE
+
+FRAG = A2_MAXFRAG           # 64 frames per row
+RPB = 128                   # rows per block (lane axis)
+NPARAM = 8                  # packed param sublanes per block
+
+# param sublane indices within a block's (NPARAM, RPB) tile
+P_POS0, P_F0, P_DPOS, P_DF, P_AMP0, P_DAMP = range(6)
+
+# pass classes compiled as separate kernels; 18 covers a mip-0
+# 2048-entry table plus its interpolation/run-ahead padding
+PASS_CLASSES = (1, 2, 4, 8, 18)
+
+
+def _ta_rows(src, idx, interpret):
+    """take_along_axis(src, idx, axis=1) with int32 indices.
+
+    jnp.take_along_axis promotes indices to int64 under
+    jax_enable_x64, which neither Mosaic nor the Pallas interpreter
+    accepts; this builds the identical batched gather it would build
+    without x64 (Mosaic lowers it to the per-sublane lane shuffle)."""
+    del interpret
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(), collapsed_slice_dims=(1,),
+        start_index_map=(1,), operand_batching_dims=(0,),
+        start_indices_batching_dims=(0,))
+    return jax.lax.gather(
+        src, idx[..., None].astype(jnp.int32), dnums,
+        slice_sizes=(1, 1), fill_value=None,
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+
+
+def _make_kernel(npass, interpret=False):
+    def kern(tbase_ref, param_ref, atlas_ref, out_ref):
+        n = jax.lax.broadcasted_iota(jnp.int32, (FRAG, RPB), 0)
+        P = param_ref[:]
+        pos0 = P[P_POS0][None, :]
+        f0 = P[P_F0][None, :]
+        dpos = P[P_DPOS][None, :]
+        df = P[P_DF][None, :]
+        amp0 = P[P_AMP0][None, :]
+        damp = P[P_DAMP][None, :]
+
+        # exact 48:24 phase via (pos, frac24) split
+        fr = f0 + n * df
+        pos = pos0 + n * dpos + (fr >> 24)
+        fr = fr & 0xFFFFFF
+        ph16 = (pos << 8) | (fr >> 16)          # 16:8 table position
+        dph16 = (dpos << 8) | (df >> 16)
+
+        tb = tbase_ref[pl.program_id(0)]
+
+        def lookup_pair(j):
+            # j: pair index relative to the block's table base row;
+            # returns int32-packed (d[j+1] << 16 | u16(d[j]))
+            hi = j >> 7
+            lo = j & 127
+            acc = jnp.zeros_like(j)
+            for r in range(npass):
+                row = atlas_ref[pl.ds(tb + r, 1), :]
+                src = jnp.broadcast_to(row, (FRAG, RPB))
+                g = _ta_rows(src, lo, interpret)
+                acc = jnp.where(hi == r, g, acc)
+            return acc
+
+        def hermite(ph):
+            # a2_Hermite (a2_dsp.h:64-74), int32 wrap products
+            i = ph >> 8
+            x = (ph & 0xFF) << 7
+            pa = lookup_pair(i - 1)             # (d[i-1], d[i])
+            pb = lookup_pair(i + 1)             # (d[i+1], d[i+2])
+            dm1 = (pa << 16) >> 16
+            d0 = pa >> 16
+            d1 = (pb << 16) >> 16
+            d2 = pb >> 16
+            c = (d1 - dm1) >> 1
+            a = (3 * (d0 - d1) + d2 - dm1) >> 1
+            b = dm1 - d0 + c - a
+            a = (a * x) >> 15
+            a = ((a + b) * x) >> 15
+            return d0 + (((a + c) * x) >> 15)
+
+        # A2_HIFI 2x oversampling (wtosc.c:29-33)
+        v = hermite(ph16) + hermite(ph16 + (dph16 >> 1))
+
+        # (v * amp) >> 17, exact 3-limb decomposition
+        amp = amp0 + n * damp
+        a2 = amp >> 28
+        a1 = (amp >> 14) & 0x3FFF
+        a0 = amp & 0x3FFF
+        out_ref[:] = (((v * a2) << 11)
+                      + (((v * a1) + ((v * a0) >> 14)) >> 3))
+    return kern
+
+
+def _osc_call(npass, tbase, params, atlas_pairs, interpret=False):
+    """One pass-class pallas call: params (NB*NPARAM, RPB) int32,
+    tbase (NB,) int32 -> (FRAG, NB*RPB) int32 oscillator audio.
+
+    interpret=True runs the kernel in the Pallas interpreter — used by
+    the default (CPU) test suite so the device code path is exercised
+    on every pytest run."""
+    NB = params.shape[0] // NPARAM
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(NB,),
+        in_specs=[pl.BlockSpec((NPARAM, RPB), lambda b, tb: (b, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((FRAG, RPB), lambda b, tb: (0, b),
+                               memory_space=pltpu.VMEM),
+    )
+    f = pl.pallas_call(
+        _make_kernel(npass, interpret), grid_spec=gs,
+        interpret=interpret,
+        out_shape=jax.ShapeDtypeStruct((FRAG, NB * RPB), jnp.int32))
+    # x64 mode makes Pallas' grid/index machinery trace as i64, which
+    # Mosaic cannot legalize; the kernel itself is pure int32, so
+    # trace it with x64 off (the global flag is set by tpu/kernels.py
+    # for the XLA int64 row path).
+    from jax._src.config import enable_x64
+    with enable_x64(False):
+        return f(tbase, params, atlas_pairs)
+
+
+class PairAtlas:
+    """Wave atlas packed as int32 (d[k+1]<<16 | u16(d[k])) pairs,
+    reshaped to (rows, 128) for the kernel's split-index lookup.
+
+    Each (wave, mip) level's padded data (A2_WAVEPRE + size + post)
+    is placed at a 128-aligned offset so a block's table base is a
+    whole row; lookup() returns (tbase_row, npass, pos_offset) where
+    pos_offset is added to the oscillator's sample position (d[0]
+    relative) to form the kernel's pair index."""
+
+    def __init__(self):
+        self._rows = []          # list of (128,) int32 rows
+        self._index = {}         # (wave_key, mip) -> (tbase, npass, off)
+        self.data = None         # jnp (T, 128) after finalize
+        self.np_pairs = None     # numpy flat pairs (for the twin)
+        self.version = 0
+
+    def add_wave(self, key, wave):
+        for mm in range(wave.miplevels):
+            d = np.asarray(wave.data[mm], dtype=np.int32)
+            # pairs P[k] = (d16[k+1]<<16) | u16(d16[k]); one extra 0
+            # beyond the padded data is never read (lookups stay
+            # within PRE+size+POST-1)
+            lo = d & 0xFFFF
+            hi = np.empty_like(d)
+            hi[:-1] = d[1:]
+            hi[-1] = 0
+            pairs = (hi << 16) | lo
+            npad = (-len(pairs)) % 128
+            if npad:
+                pairs = np.concatenate(
+                    [pairs, np.zeros(npad, np.int32)])
+            tbase = len(self._rows)
+            self._rows.extend(pairs.reshape(-1, 128))
+            npass = len(pairs) // 128
+            # oscillator positions are relative to data[0] = index
+            # A2_WAVEPRE within the padded block
+            self._index[(key, mm)] = (tbase, npass, A2_WAVEPRE)
+
+    def finalize(self):
+        if self._rows:
+            arr = np.stack(self._rows)
+        else:
+            arr = np.zeros((1, 128), dtype=np.int32)
+        self.np_pairs = arr.reshape(-1)
+        self.data = arr
+        self.version += 1
+        return self.data
+
+    def lookup(self, key, mip):
+        return self._index[(key, mip)]
+
+
+def pass_class(npass):
+    for c in PASS_CLASSES:
+        if npass <= c:
+            return c
+    raise ValueError("table too large for pass classes: %d" % npass)
+
+
+class OscBatch:
+    """Accumulates oscillator rows bucketed by (tbase, npass) and
+    evaluates them in one device dispatch (one pallas call per pass
+    class).  Returns audio in the original row order."""
+
+    def __init__(self, atlas):
+        self.atlas = atlas
+        self.rows = []           # (tbase, npass, pos0, f0, dpos, df, amp0, damp)
+        self.n = 0
+
+    def add(self, tbase, npass, pos_off, ph0, dph, amp0, damp):
+        """ph0/dph are 48:24 ints relative to d[0]; amp 8:24 int32."""
+        pos0 = (ph0 >> 24) + pos_off
+        f0 = ph0 & 0xFFFFFF
+        dpos = dph >> 24
+        df = dph & 0xFFFFFF
+        self.rows.append((tbase, npass, pos0, f0, dpos, df,
+                          _i32(amp0), _i32(damp)))
+        self.n += 1
+        return self.n - 1
+
+    def build(self):
+        """Groups rows into pass-class calls.  Returns a list of
+        (npass_class, tbase_np, params_np, row_indices) plus the
+        total row order mapping."""
+        buckets = {}
+        for i, r in enumerate(self.rows):
+            key = (pass_class(r[1]), r[0])
+            buckets.setdefault(key, []).append(i)
+        calls = {}
+        for (cls, tbase), idxs in sorted(buckets.items()):
+            calls.setdefault(cls, []).append((tbase, idxs))
+        out = []
+        for cls, groups in calls.items():
+            # pack each bucket into 128-row blocks (pad within bucket)
+            blocks = []          # (tbase, [row indices padded w/ -1])
+            for tbase, idxs in groups:
+                for s in range(0, len(idxs), RPB):
+                    blk = idxs[s:s + RPB]
+                    blk = blk + [-1] * (RPB - len(blk))
+                    blocks.append((tbase, blk))
+            NB = len(blocks)
+            params = np.zeros((NB, NPARAM, RPB), np.int32)
+            tbase_arr = np.zeros(NB, np.int32)
+            order = np.zeros((NB, RPB), np.int64)
+            for b, (tbase, blk) in enumerate(blocks):
+                tbase_arr[b] = tbase
+                for l, ri in enumerate(blk):
+                    order[b, l] = ri
+                    if ri < 0:
+                        continue
+                    _, _, pos0, f0, dpos, df, amp0, damp = self.rows[ri]
+                    params[b, :6, l] = (pos0, f0, dpos, df, amp0, damp)
+            out.append((cls, tbase_arr, params.reshape(-1, RPB), order))
+        return out
+
+
+def _i32(x):
+    return int(np.int64(x).astype(np.int32))
+
+
+def evaluate_osc_batch(batch, device_atlas, interpret=False):
+    """Evaluates an OscBatch on the TPU.  Returns int32[n, FRAG]
+    oscillator audio in row order (numpy).  device_atlas: jnp array
+    of batch.atlas.data."""
+    if not batch.n:
+        return np.zeros((0, FRAG), np.int32)
+    calls = batch.build()
+    outs = np.zeros((batch.n, FRAG), np.int32)
+    for cls, tbase_arr, params, order in calls:
+        res = _osc_call(cls, jnp.asarray(tbase_arr),
+                        jnp.asarray(params), device_atlas,
+                        interpret=interpret)
+        res = np.asarray(res)                 # (FRAG, NB*RPB)
+        flat = order.reshape(-1)
+        keep = flat >= 0
+        outs[flat[keep]] = res.T[keep]
+    return outs
+
+
+# ---------------------------------------------------------------
+# numpy twin (for tests off-TPU); mirrors the kernel bit for bit
+# ---------------------------------------------------------------
+
+def osc_rows_numpy(atlas_pairs_flat, tbase, npass, pos0, f0, dpos, df,
+                   amp0, damp):
+    """atlas_pairs_flat: int32[T*128]; all params int32 arrays[R]."""
+    n = np.arange(FRAG, dtype=np.int64)[None, :]
+    fr = f0[:, None].astype(np.int64) + n * df[:, None]
+    pos = pos0[:, None] + n * dpos[:, None] + (fr >> 24)
+    fr = fr & 0xFFFFFF
+    ph16 = (pos << 8) | (fr >> 16)
+    dph16 = (dpos << 8) | (df >> 16)
+    base = (tbase[:, None].astype(np.int64)) * 128
+
+    def lookup(j):
+        return atlas_pairs_flat[base + j].astype(np.int64)
+
+    def herm(ph):
+        i = ph >> 8
+        x = (ph & 0xFF) << 7
+        pa = lookup(i - 1)
+        pb = lookup(i + 1)
+        dm1 = (pa.astype(np.int32) << 16) >> 16
+        d0 = pa.astype(np.int32) >> 16
+        d1 = (pb.astype(np.int32) << 16) >> 16
+        d2 = pb.astype(np.int32) >> 16
+        i32 = np.int32
+        c = i32(d1 - dm1) >> 1
+        a = (i32(3) * i32(d0 - d1) + d2 - dm1) >> 1
+        b = i32(dm1 - d0) + c - a
+        with np.errstate(over="ignore"):
+            a = i32(a * i32(x)) >> 15
+            a = i32(i32(a + b) * i32(x)) >> 15
+            return i32(d0 + (i32(i32(a + c) * i32(x)) >> 15))
+
+    v = herm(ph16).astype(np.int64) \
+        + herm(ph16 + (dph16[:, None] >> 1)).astype(np.int64)
+    amp = amp0[:, None].astype(np.int64) + n * damp[:, None]
+    return ((v * amp) >> 17).astype(np.int32)
