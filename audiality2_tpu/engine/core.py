@@ -165,6 +165,13 @@ class Core:
         self._atlas = None
         self._atlas_entries = {}         # (id(wave), mm) -> base
         self._atlas_added = set()
+        self._pair_atlas = None          # osc_kernel.PairAtlas (device)
+        self._pair_added = set()
+        # --- device superblock mixer (tpu/superblock.py) ---
+        self.device_mix = bool(getattr(state.config, "device_mix",
+                                       False))
+        self.device_mixer = None
+        self._device_committed = False   # stateful units on device
 
     # ----- wave atlas for the row kernel -----
 
@@ -184,6 +191,18 @@ class Core:
                     self._atlas_entries[(k, m)] = base
             b = self._atlas_entries[key]
         return b
+
+    def pair_atlas_entry(self, wave, mm):
+        """(tbase, npass, pos_off) in the pallas pair atlas
+        (tpu/osc_kernel.PairAtlas) for (wave, mip)."""
+        from ..tpu.osc_kernel import PairAtlas
+        if self._pair_atlas is None:
+            self._pair_atlas = PairAtlas()
+        if id(wave) not in self._pair_added:
+            self._pair_atlas.add_wave(id(wave), wave)
+            self._pair_added.add(id(wave))
+            self._pair_atlas.finalize()
+        return self._pair_atlas.lookup(id(wave), mm)
 
     # =====================================================
     #   Voice management
@@ -471,11 +490,14 @@ class Core:
             wrap = self.batched and getattr(u, "queue_writes", False)
             for j, wcb in enumerate(u.write_callbacks()):
                 if wrap and wcb is not None:
-                    v.cregs[v.ncregs] = (u, self._make_queuing(wcb))
+                    v.cregs[v.ncregs] = (u, self._make_queuing(wcb, u, j))
                 else:
                     v.cregs[v.ncregs] = (u, wcb)
                 v.ncregs += 1
             u.regbase = base
+            # stage-ordering key for the device superblock compiler
+            # (stable even after the voice dies mid-superblock)
+            u.depth_key = (-v.nestlevel, len(v.units))
             if (ud.flags & A2_MATCHIO) and ninputs != uout:
                 self.rt_error(A2Error.IODONTMATCH, f"unit {ud.name}")
                 return A2Error.VOICEINIT
@@ -598,13 +620,16 @@ class Core:
             if write is not None:
                 write(v.r[reg], start & 255, duration)
 
-    def _make_queuing(self, wcb):
+    def _make_queuing(self, wcb, unit=None, idx=None):
         """Wrap an effect unit's write callback: during recording the
         write is queued into the op list (applied at replay, in exact
-        order relative to the unit's process slices)."""
+        order relative to the unit's process slices).  unit/idx ride
+        along so the device superblock compiler can shadow-simulate
+        the write without touching the unit (tpu/superblock.py)."""
         def queuing(value, start, dur):
             if self.recording:
-                self.oplist.append(("write", wcb, value, start, dur))
+                self.oplist.append(("write", wcb, value, start, dur,
+                                    unit, idx))
             else:
                 wcb(value, start, dur)
         return queuing
@@ -1200,11 +1225,67 @@ class Core:
         batches of many engine instances into one device dispatch.
         """
         frags, oplists, rowbatch = self.record_superblock(frames)
+        if self.device_mix:
+            res = self._try_device_mix(frames, frags, oplists, rowbatch)
+            if res is not None:
+                return res
         if rowbatch.n:
             rows = rowbatch.evaluate(self._atlas, use_jax=self.use_jax)
         else:
             rows = None
         return self.replay_superblock(frames, frags, oplists, rows)
+
+    def _try_device_mix(self, frames, frags, oplists, rowbatch):
+        """Full-superblock device render (tpu/superblock.py): rows +
+        bus mixing + effect chains on the TPU, master-only readback.
+        Returns frames on success, None to fall back to host replay
+        (safe: compilation never mutates engine state)."""
+        from ..tpu.superblock import (compile_superblock, DeviceMixer,
+                                      Unsupported)
+        try:
+            prog = compile_superblock(self, frags, oplists, rowbatch)
+        except Unsupported:
+            if self._device_committed:
+                # stateful unit state (fbdelay rings) lives on the
+                # device; host replay would diverge
+                raise
+            return None
+        if prog.fbdelays:
+            self._device_committed = True
+        if self.device_mixer is None:
+            self.device_mixer = DeviceMixer(self)
+        bufs = self.device_mixer.run(prog)
+        self._replay_control_only(frags, oplists)
+        out = bufs[:self.master.channels]
+        for cb in self.sinks:
+            cb(out, frames)
+        return frames
+
+    def _replay_control_only(self, frags, oplists):
+        """Advance host-side unit control state exactly as the host
+        replay would (writes, ramper prepare/run per slice, deinit) —
+        the audio itself was produced on the device."""
+        from ..units.host_units import (PanmixUnit, XInsertUnit,
+                                        FbdelayUnit)
+        for frag, ops in zip(frags, oplists):
+            for e in ops:
+                tag = e[0]
+                if tag == "write":
+                    e[1](e[2], e[3], e[4])
+                elif tag == "proc":
+                    u, o, f = e[1], e[2], e[3]
+                    if isinstance(u, PanmixUnit):
+                        u.vol.prepare(f)
+                        if not (u.ninputs == 1 and u.noutputs == 1):
+                            u.pan.prepare(f)
+                            u.vol.run(f)
+                            u.pan.run(f)
+                        else:
+                            u.vol.run(f)
+                    elif isinstance(u, FbdelayUnit):
+                        u.bufpos += f
+                elif tag == "deinit":
+                    e[1].deinitialize()
 
     def record_superblock(self, frames):
         """P1: run the control plane for the whole buffer, recording
@@ -1255,7 +1336,7 @@ class Core:
                     _, u, o, f = e
                     u.process(o, f)
                 elif tag == "write":
-                    _, wcb, value, start, dur = e
+                    wcb, value, start, dur = e[1], e[2], e[3], e[4]
                     wcb(value, start, dur)
                 elif tag == "stash":
                     _, u, o, f, temps = e

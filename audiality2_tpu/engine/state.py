@@ -74,7 +74,7 @@ export a2_terminator() {}
 
 class Config:
     def __init__(self, samplerate=48000, buffer=1024, channels=2,
-                 flags=0, batched=True, use_jax=True,
+                 flags=0, batched=True, use_jax=True, device_mix=False,
                  audiodriver=None, mididriver=None, sysdriver=None):
         self.samplerate = samplerate
         self.buffer = buffer
@@ -91,6 +91,11 @@ class Config:
         # use_jax: evaluate large row batches on the TPU; small ones
         # fall back to the numpy twin automatically.
         self.use_jax = use_jax
+        # device_mix: whole-superblock device rendering (rows + bus
+        # mixing + effect chains on the TPU, master-only readback —
+        # tpu/superblock.py); falls back to host replay per superblock
+        # when the op tape contains unsupported units.
+        self.device_mix = device_mix
         # basepitch: middle C pitch in 1.0/octave relative to the output
         # sample rate (audiality2.c:397-399), reproduced with the same
         # float32 arithmetic:
@@ -819,13 +824,14 @@ class Interface:
 
 
 def open_engine(samplerate=48000, buffer=1024, channels=2, flags=0,
-                batched=True, use_jax=True, audiodriver=None,
-                mididriver=None, sysdriver=None):
+                batched=True, use_jax=True, device_mix=False,
+                audiodriver=None, mididriver=None, sysdriver=None):
     """a2_Open equivalent: create a master state, returning its
     interface.  Driver specs are "name,opt,opt" strings
     (drivers.c:544) — see engine/drivers.py for the registry."""
     st = State(Config(samplerate, buffer, channels, flags,
                       batched=batched, use_jax=use_jax,
+                      device_mix=device_mix,
                       audiodriver=audiodriver, mididriver=mididriver,
                       sysdriver=sysdriver))
     return st.interface

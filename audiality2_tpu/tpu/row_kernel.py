@@ -168,7 +168,7 @@ class RowBatch:
 
     __slots__ = ("base", "ph0", "dph", "amp0", "damp", "haspm",
                  "stereo", "clamp", "vol0", "dvol", "pan0", "dpan",
-                 "n")
+                 "n", "wavemip")
 
     def __init__(self):
         self.base = []
@@ -183,9 +183,11 @@ class RowBatch:
         self.dvol = []
         self.pan0 = []
         self.dpan = []
+        self.wavemip = []        # (wave, mip) per row, for the pallas path
         self.n = 0
 
-    def add_osc(self, base, ph0, dph, amp0, damp):
+    def add_osc(self, base, ph0, dph, amp0, damp, wave=None, mip=0):
+        self.wavemip.append((wave, mip))
         self.base.append(base)
         self.ph0.append(ph0)
         self.dph.append(dph)

@@ -63,7 +63,7 @@ class DeferredWtosc(WtoscUnit):
                 return
             base = core.atlas_base(w, mm)
             idx = core.rowbatch.add_osc(base, ph, dph, self.a.value,
-                                        self.a.delta)
+                                        self.a.delta, wave=w, mip=mm)
             self.phase = ((ph + frames * dph) << mm) & _U64
             self.a.value = sat32(self.a.value + self.a.delta * frames)
             self._emit = ("row", idx)
