@@ -258,7 +258,7 @@ class OscBatch:
         for i, r in enumerate(self.rows):
             key = (pass_class(r[1]), r[0])
             buckets.setdefault(key, []).append(i)
-        calls = {}
+        calls = {cls: [] for cls in PASS_CLASSES}
         for (cls, tbase), idxs in sorted(buckets.items()):
             calls.setdefault(cls, []).append((tbase, idxs))
         out = []
@@ -270,6 +270,17 @@ class OscBatch:
                     blk = idxs[s:s + RPB]
                     blk = blk + [-1] * (RPB - len(blk))
                     blocks.append((tbase, blk))
+            # pad the block count to a power of two (min 8) so jit
+            # shapes stabilize across superblocks; every pass class is
+            # always present for the same reason (dead blocks have
+            # amp=0 and order=-1, so they cost a little compute and
+            # no correctness)
+            dead = [-1] * RPB
+            target = 8
+            while target < len(blocks):
+                target <<= 1
+            while len(blocks) < target:
+                blocks.append((0, dead))
             NB = len(blocks)
             params = np.zeros((NB, NPARAM, RPB), np.int32)
             tbase_arr = np.zeros(NB, np.int32)

@@ -111,9 +111,8 @@ class SuperblockProgram:
         # rows
         self.row_classes = []    # (cls, tbase[NB], params[NB*8,128], order[NB,128])
         self.nrows = 0
-        self.row_aux = None      # int32 [Rpad, 8]: slot off frm haspm
-                                 # stereo clamp vol0 dvol  (+ pan cols)
         self.row_pm = None       # int32 [Rpad, 4]: vol0 dvol pan0 dpan
+        self.row_inv = None      # int32 [Rpad]: kernel-output position
         self.row_flags = None    # int32 [Rpad, 4]: slot, off, frm, mode
         # stash
         self.stash_audio = None  # int32 [NS, 2, 64] pre-masked
@@ -337,7 +336,10 @@ def compile_superblock(core, frags, oplists, rowbatch):
     if rowbatch.n and (rows_slot < 0).any():
         raise Unsupported("orphan rows")
 
-    prog.ninst = len(inst_ids) + 1
+    # pad the instance count to a power of two (min 4) so the slot
+    # array shape — and thus the jit signature — stays stable as
+    # groups come and go
+    prog.ninst = _pow2(len(inst_ids) + 1, 4)
 
     # ----- rows: bucket for the pallas osc kernel -----
     prog.nrows = rowbatch.n
@@ -348,11 +350,30 @@ def compile_superblock(core, frags, oplists, rowbatch):
             if w is None:
                 raise Unsupported("row without wave key")
             tb, npz, off = core.pair_atlas_entry(w, mm)
-            batch.add(tb, npz, off, rowbatch.ph0[i], rowbatch.dph[i],
-                      rowbatch.amp0[i], rowbatch.damp[i])
+            # shift the row back by its slice offset so the kernel
+            # computes directly at absolute frame positions (frame n
+            # = slice sample n-off); exact because the kernel's phase
+            # and amp arithmetic are mod-2^32 / carried exactly, and
+            # frames outside [off, off+frm) are masked before the
+            # slot scatter.  This kills the per-row placement gather.
+            so = int(rows_off[i])
+            ph_s = rowbatch.ph0[i] - so * rowbatch.dph[i]
+            amp_s = (rowbatch.amp0[i] - so * rowbatch.damp[i]) \
+                & 0xFFFFFFFF
+            if amp_s >= 1 << 31:
+                amp_s -= 1 << 32
+            batch.add(tb, npz, off, ph_s, rowbatch.dph[i],
+                      amp_s, rowbatch.damp[i])
         prog.row_classes = batch.build()
         R = rowbatch.n
-        Rpad = _pow2(R, 64)
+        Rpad = _pow2(R, 4096)
+        # position of row i in the concatenated kernel output
+        order_all = np.concatenate(
+            [order.reshape(-1) for _, _, _, order in prog.row_classes])
+        inv = np.zeros(Rpad, np.int32)
+        keep = order_all >= 0
+        inv[order_all[keep]] = np.nonzero(keep)[0]
+        prog.row_inv = inv
         pm = np.zeros((Rpad, 4), np.int32)
         fl = np.zeros((Rpad, 4), np.int32)
         pm[:R, 0] = np.asarray(rowbatch.vol0, np.int64).astype(np.int32)
@@ -371,7 +392,7 @@ def compile_superblock(core, frags, oplists, rowbatch):
 
     # ----- stash -----
     if stash_list:
-        NS = _pow2(len(stash_list), 1)
+        NS = _pow2(len(stash_list), 64)
         sa = np.zeros((NS, 2, FRAG), np.int32)
         ssl = np.full(NS, prog.ninst * F, np.int32)
         for i, (slot, audio) in enumerate(stash_list):
@@ -384,7 +405,7 @@ def compile_superblock(core, frags, oplists, rowbatch):
     for key in sorted(stages.keys()):
         nest, chain, kind = key[0], key[1], key[2]
         entries = stages[key]
-        K = _pow2(len(entries), 1)
+        K = _pow2(len(entries), 128)   # min pad: stable jit shapes
         arr = np.zeros((K, 9), np.int32)
         arr[:, 0] = prog.ninst * F     # dead src for padding
         arr[:, 1] = prog.ninst * F
@@ -395,15 +416,25 @@ def compile_superblock(core, frags, oplists, rowbatch):
 
     # fbdelay instances are stage ops too — insert in depth order
     for fd in fbd_insts.values():
-        NS = _pow2(len(fd["slices"]), 1)
-        arr = np.zeros((NS, 13), np.int32)
-        for i, s in enumerate(fd["slices"]):
+        sl = fd["slices"]
+        # chunked scan: C consecutive slices are processed in one
+        # vectorized step — exact because every tap delay is at least
+        # the chunk's ring span (min delay >= slice frames is already
+        # enforced above, so taps never reach into the current chunk)
+        mind = min(min(s[6], s[7], s[8]) for s in sl)
+        C = 1
+        while C * 2 * FRAG <= mind and C < 64:
+            C *= 2
+        ns = _pow2(len(sl), C)
+        ns = ((ns + C - 1) // C) * C
+        arr = np.zeros((ns, 13), np.int32)
+        for i, s in enumerate(sl):
             arr[i] = s
-        arr[len(fd["slices"]):, 5] = 0          # frames=0 -> no-op
+        arr[len(sl):, 5] = 0                    # frames=0 -> no-op
         prog.fbdelays.append({
             "unit_id": id(fd["unit"]), "key": fd["key"],
             "stereoin": fd["stereoin"], "stereoout": fd["stereoout"],
-            "add": fd["add"], "arr": arr, "n": len(fd["slices"])})
+            "add": fd["add"], "arr": arr, "n": len(sl), "chunk": C})
 
     return prog
 
@@ -412,9 +443,243 @@ def compile_superblock(core, frags, oplists, rowbatch):
 #   Device execution
 # =================================================================
 
+def _apply_rows(slots, atlas, classes, interpret,
+                class_args, inv, row_pm, row_flags):
+    """classes: static list of (pass_class, NB); class_args: list of
+    (tbase, params) device arrays; inv int32[Rpad] position of row i
+    in the concatenated kernel output; row_pm int32[Rpad,4];
+    row_flags int32[Rpad,4] = (slot, off, frm, mode)."""
+    outs = []
+    for (cls, NB), (tbase, params) in zip(classes, class_args):
+        res = OK._osc_call(cls, tbase, params, atlas,
+                           interpret=interpret)
+        outs.append(res.T)                      # (NB*RPB, 64)
+    osc = jnp.take(jnp.concatenate(outs, axis=0), inv, axis=0)
+
+    pm = row_pm.astype(jnp.int64)
+    fl = row_flags
+    n = jnp.arange(FRAG, dtype=jnp.int64)[None, :]
+    # rows were phase-shifted at compile time so the kernel computed
+    # absolute frame positions; panmix ramps run in slice-local
+    # samples ns = n - off, and frames outside the slice are masked
+    off = fl[:, 1].astype(jnp.int64)[:, None]
+    frm = fl[:, 2].astype(jnp.int64)[:, None]
+    ns = n - off
+    valid = (ns >= 0) & (ns < frm)
+    osc64 = osc.astype(jnp.int64)
+    vol = pm[:, 0:1] + ns * pm[:, 1:2]
+    pan = pm[:, 2:3] + ns * pm[:, 3:4]
+    vp = (pan * vol) >> 24
+    v0 = vol - vp
+    v1 = vol + vp
+    lim = vol << 1
+    clamp = ((fl[:, 3] & _ROW_CLAMP) != 0)[:, None]
+    v0 = jnp.where(clamp, jnp.minimum(v0, lim), v0)
+    v1 = jnp.where(clamp, jnp.minimum(v1, lim), v1)
+    haspm = ((fl[:, 3] & _ROW_HASPM) != 0)[:, None]
+    stereo = ((fl[:, 3] & _ROW_STEREO) != 0)[:, None]
+    mono_pm = (osc64 * vol) >> 24
+    l_pm = (osc64 * v0) >> 24
+    r_pm = (osc64 * v1) >> 24
+    ch0 = jnp.where(haspm, jnp.where(stereo, l_pm, mono_pm), osc64)
+    ch1 = jnp.where(haspm & stereo, r_pm, jnp.zeros_like(osc64))
+    ch0s = jnp.where(valid, ch0, 0)
+    ch1s = jnp.where(valid, ch1, 0)
+    audio = jnp.stack([ch0s, ch1s], axis=1).astype(jnp.int32)
+    return slots.at[fl[:, 0].astype(jnp.int64)].add(audio)
+
+
+def _emit(slots, dst, ch_out, mask, add):
+    """Writes per-channel int64 [K, 64] outputs into dst slots,
+    masked to the slice range.  REPLACE becomes add-of-difference so
+    duplicate dst indices stay well-defined."""
+    K = mask.shape[0]
+    delta = jnp.zeros((K, 2, FRAG), jnp.int32)
+    old = slots[dst]
+    for ch, out in ch_out.items():
+        out32 = out.astype(jnp.int32)
+        if add:
+            d = jnp.where(mask, out32, 0)
+        else:
+            d = jnp.where(mask, out32 - old[:, ch], 0)
+        delta = delta.at[:, ch].set(d)
+    return slots.at[dst].add(delta)
+
+
+def _apply_stage(slots, key, arr):
+    kind = key[2]
+    a = arr.astype(jnp.int64)
+    src = slots[a[:, 0]]                   # [K, 2, 64] int32
+    n = jnp.arange(FRAG, dtype=jnp.int64)[None, :]
+    o = a[:, 2:3]
+    f = a[:, 3:4]
+    mask = (n >= o) & (n < o + f)
+    # rampers advance in slice-local samples (a2_RunRamper): the
+    # value at absolute frame n is value + (n - offset) * delta
+    ns = n - o
+    if kind == "copy":
+        ch_s = key[5][0]
+        ch_d = key[6][0]
+        add = key[4]
+        out = src[:, ch_s].astype(jnp.int64)
+        return _emit(slots, a[:, 1], {ch_d: out}, mask, add)
+    ni, no, add, sch, dch = key[3], key[4], key[5], key[6], key[7]
+    vol = a[:, 4:5] + ns * a[:, 5:6]
+    if ni == 1 and no == 1:
+        inp = src[:, sch[0]].astype(jnp.int64)
+        return _emit(slots, a[:, 1], {dch[0]: (inp * vol) >> 24},
+                     mask, add)
+    pan = a[:, 6:7] + ns * a[:, 7:8]
+    clamp = (a[:, 8:9] != 0)
+    vp = (pan * vol) >> 24
+    v0 = vol - vp
+    v1 = vol + vp
+    lim = vol << 1
+    v0 = jnp.where(clamp, jnp.minimum(v0, lim), v0)
+    v1 = jnp.where(clamp, jnp.minimum(v1, lim), v1)
+    if ni == 1 and no == 2:
+        inp = src[:, sch[0]].astype(jnp.int64)
+        return _emit(slots, a[:, 1], {dch[0]: (inp * v0) >> 24,
+                                      dch[1]: (inp * v1) >> 24},
+                     mask, add)
+    i0 = src[:, sch[0]].astype(jnp.int64)
+    i1 = src[:, sch[1]].astype(jnp.int64)
+    if ni == 2 and no == 1:
+        return _emit(slots, a[:, 1],
+                     {dch[0]: (i0 * v0 + i1 * v1) >> 25}, mask, add)
+    return _emit(slots, a[:, 1], {dch[0]: (i0 * v0) >> 24,
+                                  dch[1]: (i1 * v1) >> 24}, mask, add)
+
+
+def _apply_fbdelay(slots, sig, arr, ring, bufpos):
+    """sig: (stereoin, stereoout, add, chunk).  arr int32[NS,13] (NS a
+    multiple of chunk), ring int32[2,SIZE], bufpos int32 scalar (mod
+    SIZE).  Returns (slots, new_ring).
+
+    The scan processes `chunk` consecutive slices per step; exact
+    because every tap delay >= the chunk's ring span, so no tap ever
+    reads a sample written within the same step (same argument as the
+    host engine's vectorized path, units/host_units.py fbdelay)."""
+    stereoin, stereoout, add, C = sig
+    a = arr.astype(jnp.int64)
+    NS = arr.shape[0]
+    src0 = slots[a[:, 0]][:, 0]
+    src1 = slots[a[:, 1]][:, 1 if stereoin else 0]
+    old0 = slots[a[:, 2]][:, 0]
+    old1 = slots[a[:, 3]][:, 1]
+
+    frames = a[:, 5]
+    starts = bufpos.astype(jnp.int64) + jnp.concatenate(
+        [jnp.zeros(1, jnp.int64), jnp.cumsum(frames)[:-1]])
+
+    nvec = jnp.arange(FRAG, dtype=jnp.int64)[None, :]
+    oj = a[:, 4:5]
+    fj = a[:, 5:6]
+    msk = nvec < fj
+    widx = (starts[:, None] + nvec) & (_FBD_BUFSIZE - 1)
+    # slice-local positions: input sample k is bus frame o+k
+    ridx = jnp.clip(nvec + oj, 0, FRAG - 1)
+    src0 = jnp.take_along_axis(src0, ridx, axis=1)
+    src1 = jnp.take_along_axis(src1, ridx, axis=1)
+
+    def chunked(x):
+        return x.reshape((NS // C, C) + x.shape[1:])
+
+    def step(rings, xs):
+        (i0, i1, wid, m, fb, ld, rd, dry, fbg, lg, rg) = xs
+        L, R = rings
+        i0 = i0.astype(jnp.int64)
+        i1 = i1.astype(jnp.int64)
+        fb = fb[:, None]
+        ld = ld[:, None]
+        rd = rd[:, None]
+        dry = dry[:, None]
+        fbg = fbg[:, None]
+        lg = lg[:, None]
+        rg = rg[:, None]
+
+        def tap(buf, dl):
+            return jnp.take(buf, (wid - dl)
+                            & (_FBD_BUFSIZE - 1)).astype(jnp.int64)
+        o0 = (tap(R, fb) * fbg) >> 16
+        o1 = (tap(L, fb) * fbg) >> 16
+        Lw = jnp.where(m, (i0 + o0).astype(jnp.int32), jnp.take(L, wid))
+        Rw = jnp.where(m, (i1 + o1).astype(jnp.int32), jnp.take(R, wid))
+        L = L.at[wid].set(Lw)
+        R = R.at[wid].set(Rw)
+        o0 = o0 + ((tap(L, ld) * lg) >> 16)
+        o1 = o1 + ((tap(R, rd) * rg) >> 16)
+        o0 = o0 + ((i0 * dry) >> 16)
+        o1 = o1 + ((i1 * dry) >> 16)
+        return (L, R), (o0.astype(jnp.int32), o1.astype(jnp.int32))
+
+    xs = tuple(chunked(x) for x in
+               (src0, src1, widx, msk, a[:, 6], a[:, 7], a[:, 8],
+                a[:, 9], a[:, 10], a[:, 11], a[:, 12]))
+    (L, R), (out0, out1) = jax.lax.scan(step, (ring[0], ring[1]), xs)
+    out0 = out0.reshape(NS, FRAG)
+    out1 = out1.reshape(NS, FRAG)
+
+    backidx = jnp.clip(nvec - oj, 0, FRAG - 1)
+    omask = (nvec >= oj) & (nvec < oj + fj)
+    out0 = jnp.take_along_axis(out0, backidx, axis=1)
+    out1 = jnp.take_along_axis(out1, backidx, axis=1)
+    if add:
+        d0 = jnp.where(omask, out0, 0)
+        d1 = jnp.where(omask, out1, 0)
+    else:
+        d0 = jnp.where(omask, out0 - old0, 0)
+        d1 = jnp.where(omask, out1 - old1, 0)
+    slots = slots.at[a[:, 2], 0].add(d0)
+    if stereoout:
+        slots = slots.at[a[:, 3], 1].add(d1)
+    return slots, jnp.stack([L, R])
+
+
+def _threaded_put(arr, nchunks=8, min_bytes=1 << 19):
+    """Chunked threaded h2d upload (the relay parallelizes across
+    streams: ~60 MB/s single vs ~130 MB/s with 8-16 threads)."""
+    if arr.nbytes < min_bytes:
+        return jnp.asarray(arr)
+    import threading
+    k = min(nchunks, arr.shape[0])
+    bounds = np.linspace(0, arr.shape[0], k + 1).astype(int)
+    outs = [None] * k
+
+    def g(i):
+        outs[i] = jax.device_put(arr[bounds[i]:bounds[i + 1]])
+    th = [threading.Thread(target=g, args=(i,)) for i in range(k)]
+    for t in th:
+        t.start()
+    for t in th:
+        t.join()
+    return jnp.concatenate(outs, axis=0)
+
+
+def _threaded_get(dev, nchunks=8):
+    """Chunked threaded d2h fetch (the relay parallelizes across
+    streams: ~16 MB/s single vs ~51 MB/s with 8 threads)."""
+    import threading
+    k = min(nchunks, dev.shape[0]) or 1
+    bounds = np.linspace(0, dev.shape[0], k + 1).astype(int)
+    parts = [dev[bounds[i]:bounds[i + 1]] for i in range(k)]
+    outs = [None] * k
+
+    def g(i):
+        outs[i] = np.asarray(parts[i])
+    th = [threading.Thread(target=g, args=(i,)) for i in range(k)]
+    for t in th:
+        t.start()
+    for t in th:
+        t.join()
+    return np.concatenate(outs, axis=0)
+
+
 class DeviceMixer:
-    """Executes SuperblockPrograms on the device.  Owns the device
-    pair-atlas copy and the fbdelay ring state (persist across
+    """Executes SuperblockPrograms on the device: one jitted function
+    per program signature (shape-bucketed at compile time, so a
+    steady-state song reuses a handful of compilations).  Owns the
+    device pair-atlas copy and the fbdelay ring state (persist across
     superblocks)."""
 
     def __init__(self, core, interpret=None):
@@ -425,9 +690,8 @@ class DeviceMixer:
         self._atlas_dev = None
         self._atlas_ver = -1
         self._rings = {}         # unit_id -> [jnp (2, SIZE) int32, pos]
-        self._jits = {}
+        self._fns = {}           # signature -> jitted fn
 
-    # ---- atlas ----
     def _atlas(self):
         pa = self.core._pair_atlas
         if pa is None:
@@ -439,248 +703,127 @@ class DeviceMixer:
             self._atlas_ver = pa.version
         return self._atlas_dev
 
+    def _signature(self, prog):
+        rows = tuple((cls, arr.shape[0])
+                     for cls, arr, _, _ in prog.row_classes)
+        rpad = prog.row_flags.shape[0] if prog.row_flags is not None             else 0
+        ns = prog.stash_audio.shape[0] if prog.stash_audio is not None             else 0
+        items = []
+        for st in prog.stages:
+            items.append(("stage", st["key"], st["arr"].shape[0]))
+        for fd in prog.fbdelays:
+            items.append(("fbd", fd["key"],
+                          (fd["arr"].shape[0], fd["stereoin"],
+                           fd["stereoout"], fd["add"], fd["chunk"])))
+        items.sort(key=lambda t: t[1])
+        return (prog.F, prog.ninst, prog.master_inst,
+                prog.master_channels, rows, rpad, ns, tuple(items))
+
+    def _build_fn(self, prog, sig):
+        F, ninst, minst, mch, rows_sig, rpad, ns, items = sig
+        interpret = self.interpret
+        exec_items = list(items)
+
+        def fn(atlas, class_args, inv, row_pm, row_flags,
+               stash_audio, stash_slot, stage_arrs, fbd_arrs,
+               fbd_rings, fbd_pos):
+            nslot = ninst * F + 1
+            slots = jnp.zeros((nslot, 2, FRAG), jnp.int32)
+            if rpad:
+                slots = _apply_rows(slots, atlas, rows_sig, interpret,
+                                    class_args, inv, row_pm, row_flags)
+            if ns:
+                slots = slots.at[stash_slot].add(stash_audio)
+            new_rings = []
+            si = fi = 0
+            for tag, key, extra in exec_items:
+                if tag == "stage":
+                    slots = _apply_stage(slots, key, stage_arrs[si])
+                    si += 1
+                else:
+                    _, stereoin, stereoout, add, C = extra
+                    slots, ring = _apply_fbdelay(
+                        slots, (stereoin, stereoout, add, C),
+                        fbd_arrs[fi], fbd_rings[fi], fbd_pos[fi])
+                    new_rings.append(ring)
+                    fi += 1
+            master = slots[minst * F:(minst + 1) * F, :mch]
+            return master, new_rings
+
+        return jax.jit(fn)
+
     def run(self, prog):
-        """Returns master audio int32 [channels, frames] (numpy)."""
-        F = prog.F
-        nslot = prog.ninst * F + 1
-        slots = jnp.zeros((nslot, 2, FRAG), jnp.int32)
+        """Returns master audio int32 [channels][frames] (numpy)."""
+        sig = self._signature(prog)
+        fn = self._fns.get(sig)
+        if fn is None:
+            fn = self._build_fn(prog, sig)
+            self._fns[sig] = fn
+
         atlas = self._atlas()
-
-        # 1) rows
-        if prog.nrows:
-            slots = self._run_rows(prog, atlas, slots)
-
-        # 2) stash patches
+        class_args = [(jnp.asarray(tb), _threaded_put(par))
+                      for _, tb, par, _ in prog.row_classes]
+        if prog.row_flags is not None:
+            inv = _threaded_put(prog.row_inv)
+            row_pm = _threaded_put(prog.row_pm)
+            row_flags = _threaded_put(prog.row_flags)
+        else:
+            inv = row_pm = row_flags = jnp.zeros((0,), jnp.int32)
         if prog.stash_audio is not None:
-            slots = slots.at[jnp.asarray(prog.stash_slot)].add(
-                jnp.asarray(prog.stash_audio))
+            stash_audio = jnp.asarray(prog.stash_audio)
+            stash_slot = jnp.asarray(prog.stash_slot)
+        else:
+            stash_audio = stash_slot = jnp.zeros((0,), jnp.int32)
 
-        # 3) stages in depth order (fbdelay merged by key)
-        items = [(st["key"], "stage", st) for st in prog.stages]
-        items += [(fd["key"] + ("fbdelay",), "fbd", fd)
-                  for fd in prog.fbdelays]
-        for _, kind, ob in sorted(items, key=lambda t: t[0]):
-            if kind == "stage":
-                slots = self._run_stage(ob, slots)
+        # assemble per-item arrays in sorted (execution) order
+        items = []
+        for st in prog.stages:
+            items.append(("stage", st["key"], st))
+        for fd in prog.fbdelays:
+            items.append(("fbd", fd["key"], fd))
+        items.sort(key=lambda t: t[1])
+        stage_arrs = []
+        fbd_arrs = []
+        fbd_rings = []
+        fbd_pos = []
+        fbd_ids = []
+        fbd_nframes = []
+        for tag, _, ob in items:
+            if tag == "stage":
+                stage_arrs.append(jnp.asarray(ob["arr"]))
             else:
-                slots = self._run_fbdelay(ob, slots)
+                uid = ob["unit_id"]
+                ring = self._rings.get(uid)
+                if ring is None:
+                    ring = [jnp.zeros((2, _FBD_BUFSIZE), jnp.int32), 0]
+                    self._rings[uid] = ring
+                fbd_arrs.append(jnp.asarray(ob["arr"]))
+                fbd_rings.append(ring[0])
+                fbd_pos.append(jnp.int32(ring[1] & (_FBD_BUFSIZE - 1)))
+                fbd_ids.append(uid)
+                fbd_nframes.append(int(ob["arr"][:, 5].sum()))
 
-        # 4) master extraction + readback
-        mslots = slots[prog.master_inst * F:(prog.master_inst + 1) * F]
-        mch = prog.master_channels
-        out = np.asarray(mslots)                 # [F, 2, 64]
+        master, new_rings = fn(atlas, class_args, inv, row_pm,
+                               row_flags, stash_audio, stash_slot,
+                               stage_arrs, fbd_arrs, fbd_rings,
+                               jnp.asarray(fbd_pos, jnp.int32)
+                               if fbd_pos else
+                               jnp.zeros((0,), jnp.int32))
+        for uid, ring, nf in zip(fbd_ids, new_rings, fbd_nframes):
+            self._rings[uid][0] = ring
+            self._rings[uid][1] = (self._rings[uid][1] + nf)                 % _FBD_BUFSIZE
+
+        out = _threaded_get(master)              # [F, mch, 64]
         bufs = []
         total = sum(prog.frag_sizes)
-        for ch in range(mch):
+        for ch in range(prog.master_channels):
             b = np.empty(total, np.int32)
             pos = 0
-            for fi, n in enumerate(prog.frag_sizes):
-                b[pos:pos + n] = out[fi, ch, :n]
-                pos += n
+            for fi, nfr in enumerate(prog.frag_sizes):
+                b[pos:pos + nfr] = out[fi, ch, :nfr]
+                pos += nfr
             bufs.append(b)
         return bufs
-
-    # ---- rows ----
-    def _run_rows(self, prog, atlas, slots):
-        F = prog.F
-        outs = []
-        orders = []
-        for cls, tbase_arr, params, order in prog.row_classes:
-            res = OK._osc_call(cls, jnp.asarray(tbase_arr),
-                               jnp.asarray(params), atlas,
-                               interpret=self.interpret)
-            outs.append(res.T)                  # (NB*RPB, 64)
-            orders.append(order.reshape(-1))
-        osc_all = jnp.concatenate(outs, axis=0)
-        order_all = np.concatenate(orders)
-        # invert: for row i, position in osc_all
-        Rpad = prog.row_flags.shape[0]
-        inv = np.zeros(Rpad, np.int64)
-        keep = order_all >= 0
-        inv[order_all[keep]] = np.nonzero(keep)[0]
-        osc = jnp.take(osc_all, jnp.asarray(inv), axis=0)  # [Rpad, 64]
-
-        pm = jnp.asarray(prog.row_pm.astype(np.int64))
-        fl = prog.row_flags
-        n = jnp.arange(FRAG, dtype=jnp.int64)[None, :]
-        osc64 = osc.astype(jnp.int64)
-        vol = pm[:, 0:1] + n * pm[:, 1:2]
-        pan = pm[:, 2:3] + n * pm[:, 3:4]
-        vp = (pan * vol) >> 24
-        v0 = vol - vp
-        v1 = vol + vp
-        lim = vol << 1
-        clamp = jnp.asarray((fl[:, 3] & _ROW_CLAMP) != 0)[:, None]
-        v0 = jnp.where(clamp, jnp.minimum(v0, lim), v0)
-        v1 = jnp.where(clamp, jnp.minimum(v1, lim), v1)
-        haspm = jnp.asarray((fl[:, 3] & _ROW_HASPM) != 0)[:, None]
-        stereo = jnp.asarray((fl[:, 3] & _ROW_STEREO) != 0)[:, None]
-        mono_pm = (osc64 * vol) >> 24
-        l_pm = (osc64 * v0) >> 24
-        r_pm = (osc64 * v1) >> 24
-        ch0 = jnp.where(haspm, jnp.where(stereo, l_pm, mono_pm), osc64)
-        ch1 = jnp.where(haspm & stereo, r_pm, jnp.zeros_like(osc64))
-        # place the slice at its offset: audio sample k of the row
-        # lands at frame off+k; build [Rpad, 2, 64] shifted + masked
-        off = jnp.asarray(fl[:, 1].astype(np.int64))[:, None]
-        frm = jnp.asarray(fl[:, 2].astype(np.int64))[:, None]
-        pos = n - off                       # source sample for frame n
-        valid = (pos >= 0) & (pos < frm)
-        posc = jnp.clip(pos, 0, FRAG - 1).astype(jnp.int32)
-        ch0s = jnp.where(valid, jnp.take_along_axis(
-            ch0, posc.astype(jnp.int64), axis=1), 0)
-        ch1s = jnp.where(valid, jnp.take_along_axis(
-            ch1, posc.astype(jnp.int64), axis=1), 0)
-        audio = jnp.stack([ch0s, ch1s], axis=1).astype(jnp.int32)
-        return slots.at[jnp.asarray(fl[:, 0].astype(np.int64))].add(
-            audio)
-
-    # ---- panmix / copy stages ----
-    def _run_stage(self, st, slots):
-        arr = st["arr"]
-        key = st["key"]
-        kind = key[2]
-        a = jnp.asarray(arr.astype(np.int64))
-        src = slots[a[:, 0]]                   # [K, 2, 64] int32
-        n = jnp.arange(FRAG, dtype=jnp.int64)[None, :]
-        o = a[:, 2:3]
-        f = a[:, 3:4]
-        mask = (n >= o) & (n < o + f)
-        # rampers advance in slice-local samples (a2_RunRamper): the
-        # value at absolute frame n is value + (n - offset) * delta
-        ns = n - o
-        if kind == "copy":
-            ch_s = key[5][0]
-            ch_d = key[6][0]
-            add = key[4]
-            out = src[:, ch_s].astype(jnp.int64)
-            return self._emit(slots, a[:, 1], {ch_d: out}, mask, add)
-        # panmix
-        ni, no, add, sch, dch = key[3], key[4], key[5], key[6], key[7]
-        vol = a[:, 4:5] + ns * a[:, 5:6]
-        if ni == 1 and no == 1:
-            inp = src[:, sch[0]].astype(jnp.int64)
-            out = (inp * vol) >> 24
-            return self._emit(slots, a[:, 1], {dch[0]: out}, mask, add)
-        pan = a[:, 6:7] + ns * a[:, 7:8]
-        clamp = (a[:, 8:9] != 0)
-        vp = (pan * vol) >> 24
-        v0 = vol - vp
-        v1 = vol + vp
-        lim = vol << 1
-        v0 = jnp.where(clamp, jnp.minimum(v0, lim), v0)
-        v1 = jnp.where(clamp, jnp.minimum(v1, lim), v1)
-        if ni == 1 and no == 2:
-            inp = src[:, sch[0]].astype(jnp.int64)
-            return self._emit(slots, a[:, 1],
-                              {dch[0]: (inp * v0) >> 24,
-                               dch[1]: (inp * v1) >> 24}, mask, add)
-        i0 = src[:, sch[0]].astype(jnp.int64)
-        i1 = src[:, sch[1]].astype(jnp.int64)
-        if ni == 2 and no == 1:
-            out = (i0 * v0 + i1 * v1) >> 25
-            return self._emit(slots, a[:, 1], {dch[0]: out}, mask, add)
-        return self._emit(slots, a[:, 1],
-                          {dch[0]: (i0 * v0) >> 24,
-                           dch[1]: (i1 * v1) >> 24}, mask, add)
-
-    def _emit(self, slots, dst, ch_out, mask, add):
-        """Writes per-channel int64 [K, 64] outputs into dst slots,
-        masked to the slice range.  REPLACE becomes add-of-difference
-        so duplicate dst indices stay well-defined."""
-        K = mask.shape[0]
-        delta = jnp.zeros((K, 2, FRAG), jnp.int32)
-        old = slots[dst]
-        for ch, out in ch_out.items():
-            out32 = out.astype(jnp.int32)
-            if add:
-                d = jnp.where(mask, out32, 0)
-            else:
-                d = jnp.where(mask, out32 - old[:, ch], 0)
-            delta = delta.at[:, ch].set(d)
-        return slots.at[dst].add(delta)
-
-    # ---- fbdelay ----
-    def _run_fbdelay(self, fd, slots):
-        uid = fd["unit_id"]
-        ring = self._rings.get(uid)
-        if ring is None:
-            ring = [jnp.zeros((2, _FBD_BUFSIZE), jnp.int32), 0]
-            self._rings[uid] = ring
-        arr = fd["arr"]
-        NS = arr.shape[0]
-        a = jnp.asarray(arr.astype(np.int64))
-        # gather src audio series: [NS, 2, 64]
-        src0 = slots[a[:, 0]][:, 0]
-        src1 = slots[a[:, 1]][:, 1 if fd["stereoin"] else 0]
-        old = slots[a[:, 2]]                  # dst (for replace diff)
-        old0 = old[:, 0]
-        old1 = slots[a[:, 3]][:, 1]
-
-        bufpos0 = ring[1]
-        # per-slice start position in the ring: cumulative frames
-        frames = arr[:, 5].astype(np.int64)
-        starts = bufpos0 + np.concatenate([[0], np.cumsum(frames)[:-1]])
-        startsj = jnp.asarray(starts)
-
-        nvec = jnp.arange(FRAG, dtype=jnp.int64)[None, :]
-        oj = a[:, 4:5]
-        fj = a[:, 5:6]
-        msk = nvec < fj
-        widx = (startsj[:, None] + nvec) & (_FBD_BUFSIZE - 1)
-        # the scan works in slice-local sample positions: input sample
-        # k of a slice is bus frame o+k; gather inputs rolled left by
-        # the slice offset, roll outputs back afterwards
-        ridx = jnp.clip(nvec + oj, 0, FRAG - 1)
-        src0 = jnp.take_along_axis(src0, ridx, axis=1)
-        src1 = jnp.take_along_axis(src1, ridx, axis=1)
-
-        def step(rings, xs):
-            (i0, i1, o0_, o1_, wid, m, fb, ld, rd, dry, fbg, lg, rg) = xs
-            L, R = rings
-            i0 = i0.astype(jnp.int64)
-            i1 = i1.astype(jnp.int64)
-            tap = lambda buf, dl: jnp.take(
-                buf, (wid - dl) & (_FBD_BUFSIZE - 1)).astype(jnp.int64)
-            o0 = (tap(R, fb) * fbg) >> 16
-            o1 = (tap(L, fb) * fbg) >> 16
-            Lw = jnp.where(m, (i0 + o0).astype(jnp.int32),
-                           jnp.take(L, wid))
-            Rw = jnp.where(m, (i1 + o1).astype(jnp.int32),
-                           jnp.take(R, wid))
-            L = L.at[wid].set(Lw)
-            R = R.at[wid].set(Rw)
-            o0 = o0 + ((tap(L, ld) * lg) >> 16)
-            o1 = o1 + ((tap(R, rd) * rg) >> 16)
-            o0 = o0 + ((i0 * dry) >> 16)
-            o1 = o1 + ((i1 * dry) >> 16)
-            return (L, R), (o0.astype(jnp.int32), o1.astype(jnp.int32))
-
-        xs = (src0, src1, old0, old1, widx, msk,
-              a[:, 6], a[:, 7], a[:, 8], a[:, 9], a[:, 10], a[:, 11],
-              a[:, 12])
-        (L, R), (out0, out1) = jax.lax.scan(
-            step, (ring[0][0], ring[0][1]), xs)
-        ring[0] = jnp.stack([L, R])
-        ring[1] = int((bufpos0 + frames.sum()) % (1 << 62))
-
-        add = fd["add"]
-        stereoout = fd["stereoout"]
-        # roll outputs back to bus frame positions [o, o+f)
-        backidx = jnp.clip(nvec - oj, 0, FRAG - 1)
-        omask = (nvec >= oj) & (nvec < oj + fj)
-        out0 = jnp.take_along_axis(out0, backidx, axis=1)
-        out1 = jnp.take_along_axis(out1, backidx, axis=1)
-        if add:
-            d0 = jnp.where(omask, out0, 0)
-            d1 = jnp.where(omask, out1, 0) if stereoout else None
-        else:
-            d0 = jnp.where(omask, out0 - old0, 0)
-            d1 = jnp.where(omask, out1 - old1, 0) if stereoout else None
-        slots = slots.at[a[:, 2], 0].add(d0)
-        if stereoout:
-            slots = slots.at[a[:, 3], 1].add(d1)
-        return slots
 
     def reset_instance(self, unit_id):
         self._rings.pop(unit_id, None)
