@@ -1,0 +1,128 @@
+"""DeviceRenderer: native record -> TPU superblock mixer.
+
+The production offline render path: the C++ runtime runs the whole
+control plane (VM, events, voice tree, rampers, pitch — bit-exact
+with the reference) in record mode, emitting oscillator rows, bus
+stage entries, and stash patches (native/a2rt_record.inc); the TPU
+evaluates the superblock (tpu/superblock.py DeviceMixer) and only the
+master audio returns to the host.
+
+Offline rendering has no latency bound, so superblocks are seconds
+long, amortizing dispatch overhead; the device dispatch is
+asynchronous, letting the host record superblock N+1 while the chip
+renders N (double-buffered pipeline).
+
+If the song uses units the device program can't express, the record
+call reports it and the renderer transparently restarts on the pure
+native CPU path (the record pass has already advanced engine state,
+so a fresh native state is built — cheap, it's one compile-free
+object upload).
+"""
+
+import numpy as np
+
+from ..native import NativeRenderer
+from ..tpu.osc_kernel import PairAtlas
+
+
+class DeviceRenderer:
+    """Drives a NativeRenderer in record mode and mixes on the TPU.
+
+    Drop-in replacement for NativeRenderer's offline rendering API
+    (timestamp_reset / start / play / send / run / close)."""
+
+    def __init__(self, interface, channels=None, interpret=None):
+        from ..tpu.superblock import DeviceMixer
+        self.i = interface
+        self.nr = NativeRenderer(interface, channels=channels)
+        self.samplerate = self.nr.samplerate
+        self.master_channels = self.nr.master_channels
+        self._pair_atlas = PairAtlas()
+        self._atlas_handles = set()
+        self.mixer = DeviceMixer(self, interpret=interpret)
+        self.fell_back = False
+        self._calls = []         # replayed on native fallback
+        self._pending = None     # (prog, frames) in-flight superblock
+
+    # ---- control API (recorded for fallback replay) ----
+
+    def timestamp_reset(self):
+        self.nr.timestamp_reset()
+        self._calls.append(("timestamp_reset",))
+
+    def timestamp_bump(self, dt):
+        self.nr.timestamp_bump(dt)
+        self._calls.append(("timestamp_bump", dt))
+
+    def start(self, parent, program, *args):
+        self._calls.append(("start", parent, program) + args)
+        return self.nr.start(parent, program, *args)
+
+    def play(self, parent, program, *args):
+        self._calls.append(("play", parent, program) + args)
+        return self.nr.play(parent, program, *args)
+
+    def send(self, voice, ep, *args):
+        self._calls.append(("send", voice, ep) + args)
+        return self.nr.send(voice, ep, *args)
+
+    # ---- wave atlas keyed by native wave handle ----
+
+    def atlas_entry(self, handle, mip):
+        if handle not in self._atlas_handles:
+            hi = self.i.state.ss.hm.get(handle)
+            self._pair_atlas.add_wave(handle, hi.data)
+            self._atlas_handles.add(handle)
+            self._pair_atlas.finalize()
+        return self._pair_atlas.lookup(handle, mip)
+
+    # ---- rendering ----
+
+    def _fallback(self, rendered_frames, frames):
+        """Native record hit unsupported content: rebuild a fresh
+        native state, replay the control calls, skip what was already
+        rendered, and continue on the pure native path."""
+        self.fell_back = True
+        self.nr.close()
+        self.nr = NativeRenderer(self.i, channels=self.master_channels)
+        for c in self._calls:
+            getattr(self.nr, c[0])(*c[1:])
+        skip = rendered_frames
+        while skip > 0:
+            n = min(skip, 65536)
+            self.nr.run(n)
+            skip -= n
+        self._rendered_pre = rendered_frames
+
+    _rendered = 0
+
+    def run(self, frames):
+        """Render `frames` frames; returns (channels, frames) int32."""
+        from ..tpu.superblock import program_from_native
+        if self.fell_back:
+            out = self.nr.run(frames)
+            self._rendered += frames
+            return out
+        try:
+            rows, stages, stash, nfrag = self.nr.record(frames)
+        except Exception:
+            self._fallback(self._rendered, frames)
+            out = self.nr.run(frames)
+            self._rendered += frames
+            return out
+        sizes = [64] * (frames // 64)
+        if frames % 64:
+            sizes.append(frames % 64)
+        prog = program_from_native(rows, stages, stash, nfrag, sizes,
+                                   self.atlas_entry,
+                                   self.master_channels)
+        bufs = self.mixer.run(prog)
+        self._rendered += frames
+        return np.stack(bufs)
+
+    @property
+    def activevoices(self):
+        return self.nr.activevoices
+
+    def close(self):
+        self.nr.close()

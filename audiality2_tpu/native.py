@@ -67,8 +67,21 @@ def load_lib():
     lib.a2rt_instructions.restype = C.c_int64
     lib.a2rt_last_error.argtypes = [C.c_void_p]
     lib.a2rt_last_error.restype = C.c_int
+    lib.a2rt_record.argtypes = [C.c_void_p, C.c_int,
+                                C.POINTER(C.c_int32), C.c_int,
+                                C.POINTER(C.c_int32), C.c_int,
+                                C.POINTER(C.c_int32), C.c_int,
+                                C.POINTER(C.c_int32)]
+    lib.a2rt_record.restype = C.c_int
     _LIB = lib
     return lib
+
+
+# field layouts of the native record buffers (native/a2rt_record.inc)
+ROW_FIELDS = 16
+STAGE_FIELDS = 23
+STASH_HDR = 5
+STASH_STRIDE = STASH_HDR + 2 * 64
 
 
 def serialize_program(p):
@@ -192,6 +205,37 @@ class NativeRenderer:
         self.lib.a2rt_run(self.st, frames,
                           out.ctypes.data_as(C.POINTER(C.c_int32)))
         return out
+
+    def record(self, frames, maxrows=None, maxstages=None,
+               maxstash=None):
+        """Record one superblock for the device mixer: runs the native
+        control plane and returns (rows, stages, stash) int32 matrices
+        (native/a2rt_record.inc field layouts).  Raises A2Exception
+        on unsupported content — the engine state HAS advanced, so the
+        caller must restart the render on the pure native path."""
+        nfrag = (frames + 63) // 64
+        if maxrows is None:
+            maxrows = max(4096, nfrag * 96)
+        if maxstages is None:
+            maxstages = max(1024, nfrag * 24)
+        if maxstash is None:
+            maxstash = max(256, nfrag * 16)
+        rows = np.empty((maxrows, ROW_FIELDS), np.int32)
+        stages = np.empty((maxstages, STAGE_FIELDS), np.int32)
+        stash = np.empty((maxstash, STASH_STRIDE), np.int32)
+        counts = np.zeros(4, np.int32)
+        p32 = C.POINTER(C.c_int32)
+        err = self.lib.a2rt_record(
+            self.st, frames,
+            rows.ctypes.data_as(p32), maxrows,
+            stages.ctypes.data_as(p32), maxstages,
+            stash.ctypes.data_as(p32), maxstash,
+            counts.ctypes.data_as(p32))
+        if err:
+            raise A2Exception(A2Error.NOTIMPLEMENTED,
+                              f"native record: {err}")
+        return (rows[:counts[0]], stages[:counts[1]],
+                stash[:counts[2]], nfrag)
 
     @property
     def activevoices(self):

@@ -48,6 +48,11 @@ the device between superblocks.
 import numpy as np
 
 import jax
+# the mixer's panmix/fbdelay math is int64; without the x64 flag JAX
+# silently truncates astype(int64) to int32 (found the hard way: the
+# native-record path doesn't import tpu/kernels.py, which used to be
+# the only place setting this)
+jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp
 
 from ..constants import A2_MAXFRAG, A2_PROCADD
@@ -440,6 +445,219 @@ def compile_superblock(core, frags, oplists, rowbatch):
 
 
 # =================================================================
+#   Program construction from native record arrays
+# =================================================================
+
+# native/a2rt_record.inc field indices
+(RF_WAVE, RF_MIP, RF_PH_HI, RF_PH_LO, RF_DPH, RF_AMP0, RF_DAMP,
+ RF_VOL0, RF_DVOL, RF_PAN0, RF_DPAN, RF_OWNER, RF_FRAG, RF_OFF,
+ RF_FRM, RF_MODE) = range(16)
+(SF_KIND, SF_NEST, SF_CHAIN, SF_NI, SF_NO, SF_ADD, SF_SCH, SF_DCH,
+ SF_SRC0, SF_SRC1, SF_DST0, SF_DST1, SF_FRAG, SF_OFF, SF_FRM,
+ SF_P0, SF_P1, SF_P2, SF_P3, SF_P4, SF_P5, SF_P6, SF_SERIAL) = range(23)
+SK_PANMIX, SK_COPY, SK_FBDELAY = 0, 1, 2
+
+
+def program_from_native(rows, stages, stash, F, frag_sizes,
+                        atlas_entry, master_channels):
+    """Builds a SuperblockProgram from the native record pass's flat
+    arrays (NativeRenderer.record).  atlas_entry(wave_handle, mip) ->
+    (tbase, npass, pos_off) in the PairAtlas.  All heavy lifting is
+    vectorized numpy — no per-row Python loops."""
+    prog = SuperblockProgram()
+    prog.F = F
+    prog.frag_sizes = list(frag_sizes)
+    prog.master_channels = master_channels
+    prog.master_inst = 0
+
+    # owner serials -> dense instance indices (0 = master)
+    owners = [np.zeros(1, np.int32)]
+    if len(rows):
+        owners.append(rows[:, RF_OWNER])
+    if len(stages):
+        owners.append(stages[:, SF_SRC0])
+        owners.append(stages[:, SF_SRC1])
+        owners.append(stages[:, SF_DST0])
+        owners.append(stages[:, SF_DST1])
+    if len(stash):
+        owners.append(stash[:, 0])
+    uniq = np.unique(np.concatenate(owners))
+    assert uniq[0] == 0
+    ninst = _pow2(len(uniq), 4)
+    prog.ninst = ninst
+    lut_sz = int(uniq.max()) + 1
+    inst_of = np.zeros(lut_sz, np.int32)
+    inst_of[uniq] = np.arange(len(uniq), dtype=np.int32)
+
+    def slot(owner, frag):
+        return inst_of[np.asarray(owner)] * F + np.asarray(frag)
+
+    # ----- rows -----
+    R = len(rows)
+    prog.nrows = R
+    if R:
+        wm = rows[:, RF_WAVE].astype(np.int64) * 16 + rows[:, RF_MIP]
+        uw = np.unique(wm)
+        tb_l = np.zeros(int(uw.max()) + 1, np.int32)
+        np_l = np.zeros_like(tb_l)
+        off_l = np.zeros_like(tb_l)
+        for key in uw:
+            t, n_, o_ = atlas_entry(int(key) // 16, int(key) % 16)
+            tb_l[key], np_l[key], off_l[key] = t, n_, o_
+        tbase = tb_l[wm]
+        npass = np_l[wm]
+        posoff = off_l[wm].astype(np.int64)
+        ph = (rows[:, RF_PH_HI].astype(np.int64) << 32) \
+            | rows[:, RF_PH_LO].astype(np.uint32).astype(np.int64)
+        pos0 = ((ph >> 24) + posoff).astype(np.int32)
+        f0 = (ph & 0xFFFFFF).astype(np.int32)
+        dph = rows[:, RF_DPH].astype(np.int64)
+        dpos = (dph >> 24).astype(np.int32)
+        df = (dph & 0xFFFFFF).astype(np.int32)
+
+        cls_idx = np.searchsorted(OK.PASS_CLASSES, npass)
+        cls_arr = np.asarray(OK.PASS_CLASSES, np.int32)[cls_idx]
+
+        # sort rows by (class, tbase); pad each (class, tbase) bucket
+        # to 128-row blocks; every class always present, NB pow2 >= 8
+        order = np.lexsort((tbase, cls_arr))
+        scls = cls_arr[order]
+        stb = tbase[order]
+        bkey = (scls.astype(np.int64) << 32) | stb
+        newb = np.empty(R, bool)
+        newb[0] = True
+        newb[1:] = bkey[1:] != bkey[:-1]
+        bstart = np.nonzero(newb)[0]
+        bsizes = np.diff(np.append(bstart, R))
+        bpad = ((bsizes + OK.RPB - 1) // OK.RPB) * OK.RPB
+        prog.row_classes = []
+        Rpad = _pow2(R, 4096)
+        inv = np.zeros(Rpad, np.int32)
+        out_base = 0
+        for cls in OK.PASS_CLASSES:
+            bsel = np.nonzero(scls[bstart] == cls)[0]
+            nb_rows = int(bpad[bsel].sum()) if len(bsel) else 0
+            NB = max(8, _pow2(max(nb_rows // OK.RPB, 1)))
+            params = np.zeros((NB, OK.NPARAM, OK.RPB), np.int32)
+            tbase_arr = np.zeros(NB, np.int32)
+            pos = 0
+            for b in bsel:
+                s0, sz = bstart[b], bsizes[b]
+                ridx = order[s0:s0 + sz]          # original row ids
+                dst = pos + np.arange(sz)
+                blk = dst // OK.RPB
+                lane = dst % OK.RPB
+                params[blk, 0, lane] = pos0[ridx]
+                params[blk, 1, lane] = f0[ridx]
+                params[blk, 2, lane] = dpos[ridx]
+                params[blk, 3, lane] = df[ridx]
+                params[blk, 4, lane] = rows[ridx, RF_AMP0]
+                params[blk, 5, lane] = rows[ridx, RF_DAMP]
+                tbase_arr[np.unique(blk)] = stb[s0]
+                inv[ridx] = out_base + dst
+                pos += int(bpad[b])
+            prog.row_classes.append(
+                (cls, tbase_arr, params.reshape(-1, OK.RPB), None))
+            out_base += NB * OK.RPB
+        prog.row_inv = inv
+
+        pm = np.zeros((Rpad, 4), np.int32)
+        fl = np.zeros((Rpad, 4), np.int32)
+        pm[:R, 0] = rows[:, RF_VOL0]
+        pm[:R, 1] = rows[:, RF_DVOL]
+        pm[:R, 2] = rows[:, RF_PAN0]
+        pm[:R, 3] = rows[:, RF_DPAN]
+        fl[:R, 0] = slot(rows[:, RF_OWNER], rows[:, RF_FRAG])
+        fl[R:, 0] = ninst * F
+        fl[:R, 1] = rows[:, RF_OFF]
+        fl[:R, 2] = rows[:, RF_FRM]
+        fl[:R, 3] = rows[:, RF_MODE]
+        prog.row_pm = pm
+        prog.row_flags = fl
+
+    # ----- stash -----
+    NS = len(stash)
+    if NS:
+        NSp = _pow2(NS, 64)
+        sa = np.zeros((NSp, 2, FRAG), np.int32)
+        sa[:NS] = stash[:, 5:].reshape(NS, 2, FRAG)
+        ssl = np.full(NSp, ninst * F, np.int32)
+        ssl[:NS] = slot(stash[:, 0], stash[:, 1])
+        prog.stash_audio = sa
+        prog.stash_slot = ssl
+
+    # ----- stages -----
+    groups = {}
+    fbd_groups = {}
+    for srow in stages:
+        kind = int(srow[SF_KIND])
+        if kind == SK_FBDELAY:
+            fbd_groups.setdefault(int(srow[SF_SERIAL]), []).append(srow)
+            continue
+        nest = int(srow[SF_NEST])
+        chain = int(srow[SF_CHAIN])
+        ni = int(srow[SF_NI])
+        no = int(srow[SF_NO])
+        add = bool(srow[SF_ADD])
+        sch = (int(srow[SF_SCH]) & 0xFF, int(srow[SF_SCH]) >> 8)
+        dch = (int(srow[SF_DCH]) & 0xFF, int(srow[SF_DCH]) >> 8)
+        if kind == SK_PANMIX:
+            key = (-nest, chain, "panmix", ni, no, add,
+                   sch[:max(ni, 1)], dch[:max(no, 1)])
+            entry = (int(slot(srow[SF_SRC0], srow[SF_FRAG])),
+                     int(slot(srow[SF_DST0], srow[SF_FRAG])),
+                     int(srow[SF_OFF]), int(srow[SF_FRM]),
+                     int(srow[SF_P0]), int(srow[SF_P1]),
+                     int(srow[SF_P2]), int(srow[SF_P3]),
+                     int(srow[SF_P4]))
+        else:
+            key = (-nest, chain, "copy", ni, add,
+                   (sch[0],), (dch[0],))
+            entry = (int(slot(srow[SF_SRC0], srow[SF_FRAG])),
+                     int(slot(srow[SF_DST0], srow[SF_FRAG])),
+                     int(srow[SF_OFF]), int(srow[SF_FRM]),
+                     0, 0, 0, 0, 0)
+        groups.setdefault(key, []).append(entry)
+    for key in sorted(groups.keys()):
+        entries = groups[key]
+        K = _pow2(len(entries), 128)
+        arr = np.zeros((K, 9), np.int32)
+        arr[:, 0] = ninst * F
+        arr[:, 1] = ninst * F
+        arr[:len(entries)] = entries
+        prog.stages.append({"kind": key[2], "key": key, "arr": arr,
+                            "n": len(entries)})
+    for serial, srows in fbd_groups.items():
+        s0 = srows[0]
+        mind = min(min(int(x[SF_P0]), int(x[SF_P1]), int(x[SF_P2]))
+                   for x in srows)
+        C = 1
+        while C * 2 * FRAG <= mind and C < 64:
+            C *= 2
+        ns = _pow2(len(srows), C)
+        ns = ((ns + C - 1) // C) * C
+        arr = np.zeros((ns, 13), np.int32)
+        for i, x in enumerate(srows):
+            arr[i] = (int(slot(x[SF_SRC0], x[SF_FRAG])),
+                      int(slot(x[SF_SRC1], x[SF_FRAG])),
+                      int(slot(x[SF_DST0], x[SF_FRAG])),
+                      int(slot(x[SF_DST1], x[SF_FRAG])),
+                      int(x[SF_OFF]), int(x[SF_FRM]),
+                      int(x[SF_P0]), int(x[SF_P1]), int(x[SF_P2]),
+                      int(x[SF_P3]), int(x[SF_P4]), int(x[SF_P5]),
+                      int(x[SF_P6]))
+        prog.fbdelays.append({
+            "unit_id": serial, "key": (-int(s0[SF_NEST]),
+                                       int(s0[SF_CHAIN])),
+            "stereoin": int(s0[SF_NI]) == 2,
+            "stereoout": int(s0[SF_NO]) == 2,
+            "add": bool(s0[SF_ADD]), "arr": arr, "n": len(srows),
+            "chunk": C})
+
+    return prog
+
+
+# =================================================================
 #   Device execution
 # =================================================================
 
@@ -691,6 +909,7 @@ class DeviceMixer:
         self._atlas_ver = -1
         self._rings = {}         # unit_id -> [jnp (2, SIZE) int32, pos]
         self._fns = {}           # signature -> jitted fn
+        self._hw = {}            # high-water marks for _repad
 
     def _atlas(self):
         pa = self.core._pair_atlas
@@ -702,6 +921,89 @@ class DeviceMixer:
             self._atlas_dev = jnp.asarray(pa.data)
             self._atlas_ver = pa.version
         return self._atlas_dev
+
+    # ---- monotone shape padding (stable jit signatures) ----
+
+    def _repad(self, prog):
+        """Pads every variable-size array up to its high-water mark so
+        steady-state superblocks reuse compiled signatures instead of
+        recompiling on every pow2 crossing."""
+        hw = self._hw
+        dead = prog.ninst * prog.F
+
+        def grow(key, n):
+            m = max(hw.get(key, 0), n)
+            hw[key] = m
+            return m
+
+        # rows
+        if prog.row_flags is not None:
+            R = prog.row_flags.shape[0]
+            Rpad = grow("rows", R)
+            if Rpad > R:
+                fl = np.zeros((Rpad, 4), np.int32)
+                fl[:, 0] = dead
+                fl[:R] = prog.row_flags
+                pm = np.zeros((Rpad, 4), np.int32)
+                pm[:R] = prog.row_pm
+                inv = np.zeros(Rpad, np.int32)
+                inv[:R] = prog.row_inv
+                prog.row_flags, prog.row_pm, prog.row_inv = fl, pm, inv
+            # padding a class shifts the output base of later classes
+            # in the concatenated kernel output — remap row_inv
+            old_bases = []
+            new_bases = []
+            ob = nb = 0
+            classes = []
+            for cls, tbase, params, order in prog.row_classes:
+                NB = tbase.shape[0]
+                NBp = grow(("cls", cls), NB)
+                old_bases.append(ob)
+                new_bases.append(nb)
+                ob += NB * OK.RPB
+                nb += NBp * OK.RPB
+                if NBp > NB:
+                    t2 = np.zeros(NBp, np.int32)
+                    t2[:NB] = tbase
+                    p2 = np.zeros((NBp * OK.NPARAM, OK.RPB), np.int32)
+                    p2[:NB * OK.NPARAM] = params
+                    tbase, params = t2, p2
+                classes.append((cls, tbase, params, order))
+            prog.row_classes = classes
+            if ob != nb:
+                edges = np.asarray(old_bases[1:] + [ob])
+                ci = np.searchsorted(edges, prog.row_inv, side="right")
+                shift = (np.asarray(new_bases)
+                         - np.asarray(old_bases))[ci]
+                prog.row_inv = (prog.row_inv
+                                + shift.astype(np.int32))
+        if prog.stash_audio is not None:
+            NS = prog.stash_audio.shape[0]
+            NSp = grow("stash", NS)
+            if NSp > NS:
+                sa = np.zeros((NSp, 2, FRAG), np.int32)
+                sa[:NS] = prog.stash_audio
+                sl = np.full(NSp, dead, np.int32)
+                sl[:NS] = prog.stash_slot
+                prog.stash_audio, prog.stash_slot = sa, sl
+        for st in prog.stages:
+            K = st["arr"].shape[0]
+            Kp = grow(("st",) + st["key"], K)
+            if Kp > K:
+                arr = np.zeros((Kp, 9), np.int32)
+                arr[:, 0] = dead
+                arr[:, 1] = dead
+                arr[:K] = st["arr"]
+                st["arr"] = arr
+        for fd in prog.fbdelays:
+            NS = fd["arr"].shape[0]
+            C = fd["chunk"]
+            NSp = grow(("fbd", fd["unit_id"], C), NS)
+            NSp = ((NSp + C - 1) // C) * C
+            if NSp > NS:
+                arr = np.zeros((NSp, 13), np.int32)
+                arr[:NS] = fd["arr"]
+                fd["arr"] = arr
 
     def _signature(self, prog):
         rows = tuple((cls, arr.shape[0])
@@ -754,6 +1056,7 @@ class DeviceMixer:
 
     def run(self, prog):
         """Returns master audio int32 [channels][frames] (numpy)."""
+        self._repad(prog)
         sig = self._signature(prog)
         fn = self._fns.get(sig)
         if fn is None:

@@ -250,6 +250,9 @@ struct Unit {
     int fm_nops, fm_structure, fm_osbits;
     struct { Ramper a, fb, p; i32 last_pitch; u32 phase, dphase;
              i32 last; } fm_op[4];
+    /* record mode (a2rt_record.inc) */
+    i64 serial;
+    int chainpos;
 };
 
 /* ---- voices ---- */
@@ -272,6 +275,10 @@ struct Voice {
     Voice *sv[SV_LUT];
     int noutputs;
     i32 **outputs;      /* points at bus channel pointer array */
+    int defer;              /* wtosc(+panmix) leaf: emit device rows */
+    int pending_row;        /* row index awaiting panmix attach */
+    int pending_stash;
+    i32 stash_tmp[MAXFRAG];
     /* call stack */
     struct StackEntry {
         int state; u32 waketime, pc, func;
@@ -360,6 +367,13 @@ struct State {
     std::unordered_map<int, Voice*> vhandles;  /* API voice handles */
     int next_vhandle;
 
+    /* record mode (a2rt_record.inc) */
+    int recording;
+    struct RecBufs *rec;
+    std::unordered_map<i32 *, i64> busowner;
+    std::unordered_map<i32 *, int> buschan;
+    i64 unit_serial;
+
     std::vector<ApiMsg> apimsgs;
     std::vector<Voice*> voicepool;
     std::vector<Event*> eventpool;
@@ -371,7 +385,8 @@ struct State {
               randstate(16576), noisestate(324357), now_fragstart(0),
               now_frames(0), last_error(0), master(nullptr),
               rootvoice(nullptr), next_vhandle(0x40000000),
-              activevoices(0), totalvoices(0), instructions(0) {
+              activevoices(0), totalvoices(0), instructions(0),
+              recording(0), rec(nullptr), unit_serial(1) {
         memset(scratch, 0, sizeof(scratch));
     }
 
@@ -406,6 +421,7 @@ struct State {
         v->next = nullptr; v->events = nullptr; v->program = nullptr;
         v->units = nullptr; v->sub = nullptr; v->handle = -1;
         v->flags = 0; v->ncregs = FIXEDREGS;
+        v->defer = 0; v->pending_row = -1; v->pending_stash = 0;
         v->stack.clear();
         memset(v->sv, 0, sizeof(v->sv));
         memset(v->cregs, 0, sizeof(v->cregs));
@@ -432,9 +448,11 @@ static void send_event(Event **q, Event *e) {
 /* forward decls */
 static void process_subvoices(State *st, Voice *v, int offset, int n);
 static void unit_process(State *st, Unit *u, int offset, int frames);
+static void unit_record(State *st, Unit *u, int offset, int frames);
 static void voice_free(State *st, Voice **head);
 
 #include "a2rt_units.inc"
+#include "a2rt_record.inc"
 #include "a2rt_vm.inc"
 
 /* =========================================================
@@ -659,6 +677,70 @@ int a2rt_run(State *st, int frames, i32 *out) {
         st->now_fragstart += (u32)frag << 8;
     }
     return frames;
+}
+
+/* Record one superblock: run the control plane, emit rows / stage
+ * entries / stash patches for the device mixer (a2rt_record.inc).
+ * counts_out: [nrows, nstages, nstash, err].  Returns 0 on success,
+ * the record error code otherwise (state HAS advanced either way —
+ * on error the caller restarts the song on the pure native path). */
+int a2rt_record(State *st, int frames,
+                i32 *rows, int maxrows,
+                i32 *stages, int maxstages,
+                i32 *stash, int maxstash,
+                i32 *counts_out) {
+    RecBufs rb;
+    rb.rows = rows; rb.maxrows = maxrows; rb.nrows = 0;
+    rb.stages = stages; rb.maxstages = maxstages; rb.nstages = 0;
+    rb.stash = stash; rb.maxstash = maxstash; rb.nstash = 0;
+    rb.frag = 0;
+    rb.err = 0;
+    st->rec = &rb;
+    st->recording = 1;
+    for (int c = 0; c < st->master->channels; ++c) {
+        st->busowner[st->master->bufs[c]] = 0;
+        st->buschan[st->master->bufs[c]] = c;
+    }
+
+    st->now_frames = st->now_fragstart + ((u32)frames << 8);
+    for (size_t i = 0; i < st->apimsgs.size(); ++i) {
+        ApiMsg &m = st->apimsgs[i];
+        Event *e = st->alloc_event();
+        *e = m.ev;
+        e->next = nullptr;
+        if (tsdiff(e->timestamp, st->now_fragstart) < 0) {
+            st->last_error = E_LATEMESSAGE;
+            e->timestamp = st->now_fragstart;
+        }
+        auto it = st->vhandles.find(m.target);
+        if (it == st->vhandles.end()) {
+            st->last_error = E_BADVOICE;
+            st->free_event(e);
+        } else if (it->second) {
+            send_event(&it->second->events, e);
+        } else {
+            send_event(pending_queue(st, m.target), e);
+        }
+    }
+    st->apimsgs.clear();
+
+    int remain = frames;
+    while (remain && !rb.err) {
+        int frag = remain > MAXFRAG ? MAXFRAG : remain;
+        Voice *root = st->rootvoice;
+        process_voices(st, &root, 0, frag);
+        st->rootvoice = root;
+        remain -= frag;
+        st->now_fragstart += (u32)frag << 8;
+        ++rb.frag;
+    }
+    st->recording = 0;
+    st->rec = nullptr;
+    counts_out[0] = rb.nrows;
+    counts_out[1] = rb.nstages;
+    counts_out[2] = rb.nstash;
+    counts_out[3] = rb.err;
+    return rb.err;
 }
 
 } /* extern "C" */
