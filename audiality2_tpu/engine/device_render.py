@@ -120,6 +120,74 @@ class DeviceRenderer:
         self._rendered += frames
         return np.stack(bufs)
 
+    def render(self, total_frames, bufsize=None, sink=None):
+        """Pipelined offline render: records superblock N+1 on the
+        CPU while the device computes N and an IO thread fetches N-1.
+        Returns [channels][total_frames] int32 (or streams through
+        `sink(bufs, frames)` and returns None)."""
+        import threading
+        from ..tpu.superblock import program_from_native
+        if bufsize is None:
+            bufsize = min(total_frames, 2752 * 64)
+        bufsize -= bufsize % 64 or 0
+        chunks = []
+
+        def emit(bufs):
+            if sink is not None:
+                sink(bufs, len(bufs[0]))
+            else:
+                chunks.append(np.stack(bufs))
+
+        pending = None           # (handle,) in flight on the device
+        fetcher = None           # thread filling fetched[0]
+        fetched = [None, None]
+        n = 0
+        while n < total_frames or pending is not None \
+                or fetcher is not None:
+            handle = None
+            if n < total_frames and not self.fell_back:
+                frames = min(bufsize, total_frames - n)
+                try:
+                    rows, stages, stash, nfrag = self.nr.record(frames)
+                except Exception:
+                    self._fallback(n, frames)
+                if not self.fell_back:
+                    sizes = [64] * (frames // 64)
+                    if frames % 64:
+                        sizes.append(frames % 64)
+                    prog = program_from_native(
+                        rows, stages, stash, nfrag, sizes,
+                        self.atlas_entry, self.master_channels)
+                    handle = self.mixer.dispatch(prog)
+                    n += frames
+            elif n < total_frames:
+                frames = min(bufsize, total_frames - n)
+                emit(list(self.nr.run(frames)))
+                n += frames
+            if fetcher is not None:
+                fetcher.join()
+                if fetched[0] is None:
+                    raise RuntimeError("superblock fetch failed") \
+                        from fetched[1]
+                emit(fetched[0])
+                fetcher = None
+            if pending is not None:
+                h = pending
+
+                def go(h=h):
+                    fetched[0] = None
+                    fetched[1] = None
+                    try:
+                        fetched[0] = self.mixer.fetch(h)
+                    except BaseException as e:
+                        fetched[1] = e
+                fetcher = threading.Thread(target=go)
+                fetcher.start()
+            pending = handle
+        if sink is not None:
+            return None
+        return np.concatenate(chunks, axis=1)
+
     @property
     def activevoices(self):
         return self.nr.activevoices

@@ -53,6 +53,18 @@ import jax
 # native-record path doesn't import tpu/kernels.py, which used to be
 # the only place setting this)
 jax.config.update("jax_enable_x64", True)
+# persistent compilation cache: superblock signatures repeat across
+# renders/processes, and each miss costs seconds of remote compile
+import os as _os
+_cache_dir = _os.environ.get(
+    "A2_JAX_CACHE",
+    _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.dirname(_os.path.abspath(__file__)))), ".jax_cache"))
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
 import jax.numpy as jnp
 
 from ..constants import A2_MAXFRAG, A2_PROCADD
@@ -586,47 +598,61 @@ def program_from_native(rows, stages, stash, F, frag_sizes,
         prog.stash_audio = sa
         prog.stash_slot = ssl
 
-    # ----- stages -----
-    groups = {}
-    fbd_groups = {}
-    for srow in stages:
-        kind = int(srow[SF_KIND])
-        if kind == SK_FBDELAY:
-            fbd_groups.setdefault(int(srow[SF_SERIAL]), []).append(srow)
-            continue
-        nest = int(srow[SF_NEST])
-        chain = int(srow[SF_CHAIN])
-        ni = int(srow[SF_NI])
-        no = int(srow[SF_NO])
-        add = bool(srow[SF_ADD])
-        sch = (int(srow[SF_SCH]) & 0xFF, int(srow[SF_SCH]) >> 8)
-        dch = (int(srow[SF_DCH]) & 0xFF, int(srow[SF_DCH]) >> 8)
-        if kind == SK_PANMIX:
-            key = (-nest, chain, "panmix", ni, no, add,
-                   sch[:max(ni, 1)], dch[:max(no, 1)])
-            entry = (int(slot(srow[SF_SRC0], srow[SF_FRAG])),
-                     int(slot(srow[SF_DST0], srow[SF_FRAG])),
-                     int(srow[SF_OFF]), int(srow[SF_FRM]),
-                     int(srow[SF_P0]), int(srow[SF_P1]),
-                     int(srow[SF_P2]), int(srow[SF_P3]),
-                     int(srow[SF_P4]))
-        else:
-            key = (-nest, chain, "copy", ni, add,
-                   (sch[0],), (dch[0],))
-            entry = (int(slot(srow[SF_SRC0], srow[SF_FRAG])),
-                     int(slot(srow[SF_DST0], srow[SF_FRAG])),
-                     int(srow[SF_OFF]), int(srow[SF_FRM]),
-                     0, 0, 0, 0, 0)
-        groups.setdefault(key, []).append(entry)
-    for key in sorted(groups.keys()):
-        entries = groups[key]
-        K = _pow2(len(entries), 128)
-        arr = np.zeros((K, 9), np.int32)
-        arr[:, 0] = ninst * F
-        arr[:, 1] = ninst * F
-        arr[:len(entries)] = entries
-        prog.stages.append({"kind": key[2], "key": key, "arr": arr,
-                            "n": len(entries)})
+    # ----- stages (vectorized grouping) -----
+    if len(stages):
+        S = stages
+        skind = S[:, SF_KIND]
+        reg = S[skind != SK_FBDELAY]
+        # group key as one int64: nest/chain/kind/ni/no/add/sch/dch
+        gk = (reg[:, SF_NEST].astype(np.int64) << 48) \
+            | (reg[:, SF_CHAIN].astype(np.int64) << 40) \
+            | (reg[:, SF_KIND].astype(np.int64) << 36) \
+            | (reg[:, SF_NI].astype(np.int64) << 32) \
+            | (reg[:, SF_NO].astype(np.int64) << 28) \
+            | (reg[:, SF_ADD].astype(np.int64) << 24) \
+            | (reg[:, SF_SCH].astype(np.int64) << 12) \
+            | reg[:, SF_DCH].astype(np.int64)
+        order = np.argsort(gk, kind="stable")
+        gs = gk[order]
+        bnd = np.nonzero(np.concatenate(
+            [[True], gs[1:] != gs[:-1]]))[0]
+        sizes = np.diff(np.append(bnd, len(gs)))
+        ent = np.empty((len(reg), 9), np.int32)
+        rr = reg[order]
+        ent[:, 0] = slot(rr[:, SF_SRC0], rr[:, SF_FRAG])
+        ent[:, 1] = slot(rr[:, SF_DST0], rr[:, SF_FRAG])
+        ent[:, 2] = rr[:, SF_OFF]
+        ent[:, 3] = rr[:, SF_FRM]
+        ent[:, 4:9] = rr[:, SF_P0:SF_P4 + 1]
+        for gi, b in enumerate(bnd):
+            r0 = rr[b]
+            nest, chain = int(r0[SF_NEST]), int(r0[SF_CHAIN])
+            ni, no = int(r0[SF_NI]), int(r0[SF_NO])
+            add = bool(r0[SF_ADD])
+            sch = (int(r0[SF_SCH]) & 0xFF, int(r0[SF_SCH]) >> 8)
+            dch = (int(r0[SF_DCH]) & 0xFF, int(r0[SF_DCH]) >> 8)
+            if int(r0[SF_KIND]) == SK_PANMIX:
+                key = (-nest, chain, "panmix", ni, no, add,
+                       sch[:max(ni, 1)], dch[:max(no, 1)])
+            else:
+                key = (-nest, chain, "copy", ni, add,
+                       (sch[0],), (dch[0],))
+            n = int(sizes[gi])
+            K = _pow2(n, 128)
+            arr = np.zeros((K, 9), np.int32)
+            arr[:, 0] = ninst * F
+            arr[:, 1] = ninst * F
+            arr[:n] = ent[b:b + n]
+            prog.stages.append({"kind": key[2], "key": key,
+                                "arr": arr, "n": n})
+        prog.stages.sort(key=lambda st: st["key"])
+        fbd = S[skind == SK_FBDELAY]
+        fbd_groups = {}
+        for serial in np.unique(fbd[:, SF_SERIAL]):
+            fbd_groups[int(serial)] = list(
+                fbd[fbd[:, SF_SERIAL] == serial])
+    else:
+        fbd_groups = {}
     for serial, srows in fbd_groups.items():
         s0 = srows[0]
         mind = min(min(int(x[SF_P0]), int(x[SF_P1]), int(x[SF_P2]))
@@ -637,15 +663,15 @@ def program_from_native(rows, stages, stash, F, frag_sizes,
         ns = _pow2(len(srows), C)
         ns = ((ns + C - 1) // C) * C
         arr = np.zeros((ns, 13), np.int32)
-        for i, x in enumerate(srows):
-            arr[i] = (int(slot(x[SF_SRC0], x[SF_FRAG])),
-                      int(slot(x[SF_SRC1], x[SF_FRAG])),
-                      int(slot(x[SF_DST0], x[SF_FRAG])),
-                      int(slot(x[SF_DST1], x[SF_FRAG])),
-                      int(x[SF_OFF]), int(x[SF_FRM]),
-                      int(x[SF_P0]), int(x[SF_P1]), int(x[SF_P2]),
-                      int(x[SF_P3]), int(x[SF_P4]), int(x[SF_P5]),
-                      int(x[SF_P6]))
+        sr = np.asarray(srows)
+        n = len(srows)
+        arr[:n, 0] = slot(sr[:, SF_SRC0], sr[:, SF_FRAG])
+        arr[:n, 1] = slot(sr[:, SF_SRC1], sr[:, SF_FRAG])
+        arr[:n, 2] = slot(sr[:, SF_DST0], sr[:, SF_FRAG])
+        arr[:n, 3] = slot(sr[:, SF_DST1], sr[:, SF_FRAG])
+        arr[:n, 4] = sr[:, SF_OFF]
+        arr[:n, 5] = sr[:, SF_FRM]
+        arr[:n, 6:13] = sr[:, SF_P0:SF_P6 + 1]
         prog.fbdelays.append({
             "unit_id": serial, "key": (-int(s0[SF_NEST]),
                                        int(s0[SF_CHAIN])),
@@ -1056,6 +1082,12 @@ class DeviceMixer:
 
     def run(self, prog):
         """Returns master audio int32 [channels][frames] (numpy)."""
+        return self.fetch(self.dispatch(prog))
+
+    def dispatch(self, prog):
+        """Asynchronously dispatches a superblock; returns a handle
+        for fetch().  The device computes while the host records the
+        next superblock (the 1-CPU pipeline)."""
         self._repad(prog)
         sig = self._signature(prog)
         fn = self._fns.get(sig)
@@ -1116,13 +1148,22 @@ class DeviceMixer:
             self._rings[uid][0] = ring
             self._rings[uid][1] = (self._rings[uid][1] + nf)                 % _FBD_BUFSIZE
 
+        return (master, prog.frag_sizes, prog.master_channels)
+
+    def fetch(self, handle):
+        """Blocks on the threaded readback of a dispatched superblock
+        and returns master audio [channels][frames] (numpy)."""
+        master, frag_sizes, mch = handle
         out = _threaded_get(master)              # [F, mch, 64]
+        total = sum(frag_sizes)
+        if total == len(frag_sizes) * FRAG:
+            flat = out.transpose(1, 0, 2).reshape(mch, total)
+            return [flat[ch] for ch in range(mch)]
         bufs = []
-        total = sum(prog.frag_sizes)
-        for ch in range(prog.master_channels):
+        for ch in range(mch):
             b = np.empty(total, np.int32)
             pos = 0
-            for fi, nfr in enumerate(prog.frag_sizes):
+            for fi, nfr in enumerate(frag_sizes):
                 b[pos:pos + nfr] = out[fi, ch, :nfr]
                 pos += nfr
             bufs.append(b)
