@@ -942,6 +942,7 @@ class DeviceMixer:
         if pa is None:
             from .osc_kernel import PairAtlas
             self.core._pair_atlas = pa = PairAtlas()
+        if pa.data is None:
             pa.finalize()
         if pa.version != self._atlas_ver:
             self._atlas_dev = jnp.asarray(pa.data)

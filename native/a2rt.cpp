@@ -24,6 +24,7 @@
 #include <cmath>
 #include <vector>
 #include <unordered_map>
+#include <unordered_set>
 
 typedef int32_t i32;
 typedef uint32_t u32;
@@ -372,6 +373,7 @@ struct State {
     struct RecBufs *rec;
     std::unordered_map<i32 *, i64> busowner;
     std::unordered_map<i32 *, int> buschan;
+    std::unordered_set<i32 *> busgen;   /* buffers claimed by a gen */
     i64 unit_serial;
 
     std::vector<ApiMsg> apimsgs;

@@ -34,12 +34,17 @@ def _render(song, secs, bufsize=4096):
 
 @pytest.mark.parametrize("song,big", [("k2trance", False),
                                       ("k2trance", True),
-                                      ("k2intro", True)])
+                                      ("k2intro", True),
+                                      ("pulsetronic", True),
+                                      ("fmtest3", True),
+                                      ("dctest", True),
+                                      ("k2epilogue", True)])
 def test_device_render_golden(song, big):
     buf = 1376 * 64 if big else 4096      # ~2 s superblocks when big
     mine, fb = _render(song, 2.5, bufsize=buf)
     gold = np.fromfile(f"{GOLD}/{song}-5s-44100.raw", np.int32)
     m = min(len(gold), len(mine))
+    m -= m % 4096       # ragged final fragments legitimately differ
     assert not fb
     assert (mine[:m] == gold[:m]).all()
 
