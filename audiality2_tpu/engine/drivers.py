@@ -126,6 +126,33 @@ class CallbackDriver(AudioDriver):
         return None
 
 
+def _dispatch_midi(bridge, state, status, d1, d2, offset):
+    """Forward one raw MIDI message to the handler voice, timestamped
+    at `offset` (24:8 frames) past the current buffer start on the
+    ENGINE clock — the reference delivers MIDI in engine context with
+    engine-time stamps (alsamididrv.c Poll + a2_Senda)."""
+    i = bridge.i
+    saved = i.timestamp
+    i.timestamp = (state.now_fragstart + offset) & 0xFFFFFFFF
+    try:
+        kind = status & 0xF0
+        ch = status & 0x0F
+        if kind == 0x90:
+            bridge.note_on(ch, d1, d2)
+        elif kind == 0x80:
+            bridge.note_off(ch, d1, d2)
+        elif kind == 0xB0:
+            bridge.control_change(ch, d1, d2)
+        elif kind == 0xE0:
+            bridge.pitch_bend(ch, ((d2 << 7) | d1) - 8192)
+        elif kind == 0xC0:
+            bridge.program_change(ch, d1)
+        elif kind == 0xA0:
+            bridge.aftertouch(ch, d1, d2)
+    finally:
+        i.timestamp = saved
+
+
 class MidiDriver:
     """MIDI input driver base: poll(frames) runs once per audio
     buffer and forwards events to the handler voice via EP 7 with
@@ -170,26 +197,140 @@ class SmfMidiDriver(MidiDriver):
         while self.pos < len(self.events) \
                 and self.events[self.pos][0] < end:
             t, status, d1, d2 = self.events[self.pos]
-            # timestamp the event at its exact subsample position
+            # timestamp the event at its exact subsample position on
+            # the ENGINE clock (the API timestamp may be stale)
             offset = int(max(0.0, t - self.time) * sr * 256.0)
-            self.bridge.i.timestamp_bump(offset)
-            kind = status & 0xF0
-            ch = status & 0x0F
-            if kind == 0x90:
-                self.bridge.note_on(ch, d1, d2)
-            elif kind == 0x80:
-                self.bridge.note_off(ch, d1, d2)
-            elif kind == 0xB0:
-                self.bridge.control_change(ch, d1, d2)
-            elif kind == 0xE0:
-                self.bridge.pitch_bend(ch, ((d2 << 7) | d1) - 8192)
-            elif kind == 0xC0:
-                self.bridge.program_change(ch, d1)
-            elif kind == 0xA0:
-                self.bridge.aftertouch(ch, d1, d2)
-            self.bridge.i.timestamp_bump(-offset)
+            _dispatch_midi(self.bridge, self.state, status, d1, d2,
+                           offset)
             self.pos += 1
         self.time = end
+
+
+class LiveMidiDriver(MidiDriver):
+    """Live MIDI input: thread-safe injection of raw MIDI messages,
+    delivered to the handler voice at the next buffer poll with
+    subsample timestamps — the ALSA sequencer driver's contract
+    (drivers/alsamididrv.c:259-344) with `inject()` standing in for
+    the sequencer queue (no MIDI hardware in this deployment; a
+    hardware backend is an inject() call away).
+
+    Events carry either an explicit engine-time `when` (seconds, for
+    deterministic use) or the wall-clock time of injection, mapped
+    onto the engine clock like the reference's event timestamping."""
+
+    name = "live"
+
+    def __init__(self, state, options=()):
+        super().__init__(state, options)
+        import threading
+        import time as _t
+        self._lock = threading.Lock()
+        self._queue = []
+        self._time = 0.0          # engine seconds polled so far
+        self._wall0 = None        # wall time of current buffer start
+        self._clock = _t.monotonic
+
+    def inject(self, status, data1=0, data2=0, when=None):
+        """Queue a raw MIDI message (thread-safe).  `when` is an
+        absolute engine time in seconds; None timestamps the event at
+        the wall-clock moment of injection."""
+        wall = self._clock()
+        with self._lock:
+            self._queue.append((when, wall, status, data1, data2))
+
+    def poll(self, frames):
+        if self.bridge is None:
+            return
+        import time as _t
+        sr = self.state.config.samplerate
+        now_wall = self._clock()
+        if self._wall0 is None:
+            self._wall0 = now_wall
+        end = self._time + frames / sr
+        with self._lock:
+            events = [e for e in self._queue
+                      if e[0] is None or e[0] < end]
+            self._queue = [e for e in self._queue
+                           if not (e[0] is None or e[0] < end)]
+        for when, wall, status, d1, d2 in events:
+            if when is None:
+                # wall-clock capture relative to this buffer's start
+                t = self._time + max(0.0, wall - self._wall0)
+            else:
+                t = when
+            t = min(max(t, self._time), end)
+            offset = int((t - self._time) * sr * 256.0)
+            self._dispatch(status, d1, d2, offset)
+        self._time = end
+        self._wall0 = now_wall
+
+    def _dispatch(self, status, d1, d2, offset):
+        _dispatch_midi(self.bridge, self.state, status, d1, d2, offset)
+
+
+class ClockedCallbackDriver(AudioDriver):
+    """Realtime-ish operation: a thread paces the engine on the host
+    clock, rendering one buffer per period and handing it to the
+    process callback — the SDL/JACK callback thread's structural
+    analog (drivers/sdldrv.c:42-144) with the host clock as the
+    device clock.  start()/stop() control the thread; underruns are
+    counted, not fatal (the engine never stops, core.c:1976-1997)."""
+
+    name = "clock"
+
+    def __init__(self, state, options=(), process=None):
+        super().__init__(state, options)
+        self.process = process
+        self.buffer = state.config.buffer
+        self._thread = None
+        self._stop = False
+        self.underruns = 0
+        self.buffers_done = 0
+
+    def run(self, frames):
+        # synchronous operation still works (tests, warmup)
+        def sink(bufs, n):
+            if self.process is not None:
+                self.process(bufs, n)
+        core = self.state.core
+        core.sinks.append(sink)
+        try:
+            core.run(frames)
+        finally:
+            core.sinks.remove(sink)
+
+    def start(self):
+        import threading
+        import time as _t
+
+        period = self.buffer / self.samplerate
+        self._stop = False
+
+        def loop():
+            nxt = _t.monotonic()
+            while not self._stop:
+                t0 = _t.monotonic()
+                self.run(self.buffer)
+                self.buffers_done += 1
+                nxt += period
+                now = _t.monotonic()
+                if now < nxt:
+                    _t.sleep(nxt - now)
+                else:
+                    if now - nxt > period:
+                        self.underruns += 1
+                    nxt = now
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        self._stop = True
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+
+    def close(self):
+        self.stop()
 
 
 class HeapSysDriver:
@@ -212,8 +353,8 @@ class HeapSysDriver:
 
 _REGISTRY = {
     "audio": {"buffer": BufferDriver, "dummy": DummyDriver,
-              "callback": CallbackDriver},
-    "midi": {"smf": SmfMidiDriver},
+              "callback": CallbackDriver, "clock": ClockedCallbackDriver},
+    "midi": {"smf": SmfMidiDriver, "live": LiveMidiDriver},
     "sys": {"heap": HeapSysDriver},
 }
 _DEFAULTS = {"audio": "buffer", "midi": "smf", "sys": "heap"}
