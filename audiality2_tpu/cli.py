@@ -78,11 +78,16 @@ def main(argv=None):
                          "(default when available)")
     ap.add_argument("--no-native", dest="native", action="store_false",
                     help="force the Python engine")
+    ap.add_argument("-q", "--quality", default="hifi",
+                    choices=("hifi", "normal", "lofi"),
+                    help="wtosc interpolation quality (reference "
+                         "A2_HIFI / default / A2_LOFI builds)")
     args = ap.parse_args(argv)
 
     from . import open_engine
     i = open_engine(args.rate, 4096, args.channels,
-                    batched=not args.interleaved)
+                    batched=not args.interleaved,
+                    quality=args.quality)
     module = i.load(args.file)
     print(f"Loaded \"{args.file}\"")
 

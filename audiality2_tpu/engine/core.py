@@ -440,7 +440,8 @@ class Core:
         # Batched engine: voices shaped exactly `wtosc` or
         # `wtosc -> panmix` use deferred (device-row) units.
         defer_classes = None
-        if self.batched:
+        if self.batched and getattr(st.config, "quality",
+                                    "hifi") == "hifi":
             names = [descs[si.uindex].name for si in p.units]
             if names == ["wtosc"] or names == ["wtosc", "panmix"]:
                 from ..units.deferred import DeferredPanmix, DeferredWtosc

@@ -75,6 +75,7 @@ export a2_terminator() {}
 class Config:
     def __init__(self, samplerate=48000, buffer=1024, channels=2,
                  flags=0, batched=True, use_jax=True, device_mix=False,
+                 quality="hifi",
                  audiodriver=None, mididriver=None, sysdriver=None):
         self.samplerate = samplerate
         self.buffer = buffer
@@ -96,6 +97,13 @@ class Config:
         # tpu/superblock.py); falls back to host replay per superblock
         # when the op tape contains unsupported units.
         self.device_mix = device_mix
+        # wtosc interpolation quality (reference config.h A2_HIFI /
+        # default / A2_LOFI; wtosc.c:27-46).  fm is unaffected: the
+        # reference's fm.c never includes config.h, so it always uses
+        # the default oversampling table.
+        if quality not in ("hifi", "normal", "lofi"):
+            raise ValueError("quality must be hifi/normal/lofi")
+        self.quality = quality
         # basepitch: middle C pitch in 1.0/octave relative to the output
         # sample rate (audiality2.c:397-399), reproduced with the same
         # float32 arithmetic:
@@ -825,13 +833,14 @@ class Interface:
 
 def open_engine(samplerate=48000, buffer=1024, channels=2, flags=0,
                 batched=True, use_jax=True, device_mix=False,
+                quality="hifi",
                 audiodriver=None, mididriver=None, sysdriver=None):
     """a2_Open equivalent: create a master state, returning its
     interface.  Driver specs are "name,opt,opt" strings
     (drivers.c:544) — see engine/drivers.py for the registry."""
     st = State(Config(samplerate, buffer, channels, flags,
                       batched=batched, use_jax=use_jax,
-                      device_mix=device_mix,
+                      device_mix=device_mix, quality=quality,
                       audiodriver=audiodriver, mididriver=mididriver,
                       sysdriver=sysdriver))
     return st.interface

@@ -40,7 +40,7 @@ def load_lib():
     lib = C.CDLL(path)
     lib.a2rt_new.restype = C.c_void_p
     lib.a2rt_new.argtypes = [C.c_int, C.c_int, C.c_int32, C.c_uint32,
-                             C.c_uint32]
+                             C.c_uint32, C.c_int]
     lib.a2rt_free.argtypes = [C.c_void_p]
     lib.a2rt_add_program.argtypes = [C.c_void_p, C.c_int,
                                      C.POINTER(C.c_int32), C.c_int]
@@ -116,9 +116,11 @@ class NativeRenderer:
         if self.channels < 1:
             self.channels = 1
         self.master_channels = self.channels if self.channels >= 2 else 1
+        quality = {"hifi": 0, "normal": 1, "lofi": 2}[
+            getattr(st.config, "quality", "hifi")]
         self.st = self.lib.a2rt_new(
             self.samplerate, self.channels, st.config.basepitch,
-            16576, 324357)
+            16576, 324357, quality)
         self._pushed_programs = set()
         self._pushed_waves = set()
         self.timestamp = 0

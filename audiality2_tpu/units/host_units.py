@@ -149,6 +149,23 @@ def _inter_vec(d32, ph16, dph16):
     return v1 + v2
 
 
+def _inter_vec_normal(d32, ph16, dph16):
+    """Default quality: 2x oversampled linear (wtosc.c:41-46)."""
+    v1 = _lerp_vec(d32, ph16 >> 8, ph16 & 0xFF)
+    ph2 = ph16 + (dph16 >> 1)
+    v2 = _lerp_vec(d32, ph2 >> 8, ph2 & 0xFF)
+    return v1 + v2
+
+
+def _inter_vec_lofi(d32, ph16, dph16):
+    """A2_LOFI: plain linear, doubled (wtosc.c:34-39)."""
+    return _lerp_vec(d32, ph16 >> 8, ph16 & 0xFF) << 1
+
+
+_INTER_BY_QUALITY = {"hifi": _inter_vec, "normal": _inter_vec_normal,
+                     "lofi": _inter_vec_lofi}
+
+
 class WtoscUnit(HostUnit):
     record_kind = "gen"
     queue_writes = False
@@ -157,6 +174,8 @@ class WtoscUnit(HostUnit):
     def initialize(self, flags):
         self.flags = flags
         st = self.state
+        self._inter = _INTER_BY_QUALITY[
+            getattr(st.config, "quality", "hifi")]
         self.basepitch = st.config.basepitch
         self.noise = 0
         self.p_ramping = 0
@@ -368,7 +387,7 @@ class WtoscUnit(HostUnit):
                 if over.any():
                     valid = int(np.argmax(over))
         ph16 = (phs >> 16)
-        out = _sh(_inter_vec(d32, ph16, dph >> 16)[:valid]
+        out = _sh(self._inter(d32, ph16, dph >> 16)[:valid]
                   * av[:valid], 17)
         o = self.outputs[0]
         if add:

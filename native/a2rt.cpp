@@ -357,6 +357,9 @@ struct State {
     u32 randstate, noisestate;
     u32 now_fragstart, now_frames;
     int last_error;
+    int quality;        /* 0 A2_HIFI, 1 default, 2 A2_LOFI
+                           (wtosc.c:27-46; fm is unaffected — the
+                           reference's fm.c never sees config.h) */
 
     std::unordered_map<int, Program*> programs;
     std::unordered_map<int, Wave*> waves;
@@ -384,6 +387,7 @@ struct State {
     i64 activevoices, totalvoices, instructions;
 
     State() : samplerate(48000), channels(1), basepitch(0), msdur(0),
+              quality(0),
               randstate(16576), noisestate(324357), now_fragstart(0),
               now_frames(0), last_error(0), master(nullptr),
               rootvoice(nullptr), next_vhandle(0x40000000),
@@ -463,8 +467,9 @@ static void voice_free(State *st, Voice **head);
 extern "C" {
 
 State *a2rt_new(int samplerate, int channels, i32 basepitch,
-                u32 randseed, u32 noiseseed) {
+                u32 randseed, u32 noiseseed, int quality) {
     State *st = new State();
+    st->quality = quality;          /* 0 hifi, 1 normal, 2 lofi */
     st->samplerate = samplerate;
     st->channels = channels < 1 ? 1 : channels;
     st->basepitch = basepitch;
