@@ -120,9 +120,41 @@ class DeviceRenderer:
         self._rendered += frames
         return np.stack(bufs)
 
-    def render(self, total_frames, bufsize=None, sink=None):
+    def _profile(self, total_frames, bufsize):
+        """Record-only dry pass over the whole render on a scratch
+        native state: warms the mixer's shape high-water marks and
+        unifies the stage structure (DeviceMixer.observe), so the
+        real render compiles ONE jit signature instead of one per
+        shape crossing — each remote compile costs seconds, so for a
+        long song this pass (~4% of render time) pays for itself
+        many times over."""
+        from ..tpu.superblock import program_from_native
+        probe = NativeRenderer(self.i, channels=self.master_channels)
+        try:
+            for c in self._calls:
+                getattr(probe, c[0])(*c[1:])
+            n = 0
+            while n < total_frames:
+                rows, stages, stash, nfrag = probe.record(bufsize)
+                prog = program_from_native(
+                    rows, stages, stash, nfrag, [64] * nfrag,
+                    self.atlas_entry, self.master_channels)
+                self.mixer.observe(prog)
+                n += bufsize
+        except Exception:
+            return False
+        finally:
+            probe.close()
+        return True
+
+    def render(self, total_frames, bufsize=None, sink=None,
+               profile=True):
         """Pipelined offline render: records superblock N+1 on the
         CPU while the device computes N and an IO thread fetches N-1.
+        With profile=True (default) a record-only dry pass first
+        unifies the jit signature across the whole song (one remote
+        compile total).  Every superblock records a full `bufsize`
+        (the tail is trimmed) so the signature stays constant.
         Returns [channels][total_frames] int32 (or streams through
         `sink(bufs, frames)` and returns None)."""
         import threading
@@ -130,11 +162,21 @@ class DeviceRenderer:
         if bufsize is None:
             bufsize = min(total_frames, 2752 * 64)
         bufsize -= bufsize % 64 or 0
+        if profile and not self.fell_back:
+            self._profile(total_frames, bufsize)
         chunks = []
+        emitted = [0]
 
         def emit(bufs):
+            frames = len(bufs[0])
+            keep = min(frames, total_frames - emitted[0])
+            if keep <= 0:
+                return
+            if keep < frames:
+                bufs = [b[:keep] for b in bufs]
+            emitted[0] += keep
             if sink is not None:
-                sink(bufs, len(bufs[0]))
+                sink(bufs, keep)
             else:
                 chunks.append(np.stack(bufs))
 
@@ -146,11 +188,13 @@ class DeviceRenderer:
                 or fetcher is not None:
             handle = None
             if n < total_frames and not self.fell_back:
-                frames = min(bufsize, total_frames - n)
+                # always a full superblock (stable jit signature);
+                # emit() trims the tail past total_frames
+                frames = bufsize
                 try:
                     rows, stages, stash, nfrag = self.nr.record(frames)
                 except Exception:
-                    self._fallback(n, frames)
+                    self._fallback(n, min(frames, total_frames - n))
                 if not self.fell_back:
                     sizes = [64] * (frames // 64)
                     if frames % 64:

@@ -125,12 +125,15 @@ class SuperblockProgram:
         self.ninst = 0
         self.master_inst = 0
         self.master_channels = 1
-        # rows
-        self.row_classes = []    # (cls, tbase[NB], params[NB*8,128], order[NB,128])
-        self.nrows = 0
-        self.row_pm = None       # int32 [Rpad, 4]: vol0 dvol pan0 dpan
-        self.row_inv = None      # int32 [Rpad]: kernel-output position
-        self.row_flags = None    # int32 [Rpad, 4]: slot, off, frm, mode
+        # oscillator runs (see _build_runs): one record per LEN
+        # consecutive linearly-continuing fragments of an oscillator;
+        # the device expands runs into per-fragment kernel rows
+        # (_expand_rows), so upload and host build cost scale with
+        # the run count, not the row count
+        self.runmat = None       # int32 [Nr, RC_N]
+        self.nruns = 0
+        self.class_blocks = []   # (pass_class, NB, tbase np[NB])
+        self.Rtot = 0            # total expanded row capacity
         # stash
         self.stash_audio = None  # int32 [NS, 2, 64] pre-masked
         self.stash_slot = None   # int32 [NS]
@@ -144,6 +147,92 @@ class SuperblockProgram:
 _ROW_HASPM = 1
 _ROW_STEREO = 2
 _ROW_CLAMP = 4
+
+# run-matrix columns (SuperblockProgram.runmat).  START is the run's
+# first expanded-row index in the concatenated class row space; dead
+# (padding) runs have LEN 0 and START == Rtot.  A run covers TOTAL
+# contiguous samples from fragment FRAG0 sample OFF, spanning LEN
+# fragments; AMP0/VOL0/PAN0 (and PH) are fragment-frame-0 normalized.
+(RC_START, RC_LEN, RC_DPH, RC_SIZE, RC_POSOFF, RC_AMP0, RC_DAMP,
+ RC_VOL0, RC_DVOL, RC_PAN0, RC_DPAN, RC_SLOT, RC_MODE, RC_OFF,
+ RC_TOTAL, RC_PHHI, RC_PHLO) = range(17)
+RC_N = 17
+
+
+def _build_runs(prog, cls_arr, tbase, posoff, ph_hi, ph_lo, dph,
+                modsize, amp0, damp, vol0, dvol, pan0, dpan, slot0,
+                mode, off0, total, lens):
+    """Sorts oscillator runs by (pass class, table base), lays their
+    expanded rows out in 128-row kernel blocks (padding within each
+    (class, tbase) bucket so a block reads one table), and fills
+    prog.runmat / prog.class_blocks / prog.Rtot.  All inputs are
+    int32 numpy arrays of length = number of runs; everything here is
+    O(runs), not O(rows)."""
+    Nr = len(cls_arr)
+    prog.nruns = Nr
+    if Nr == 0:
+        prog.runmat = np.zeros((0, RC_N), np.int32)
+        prog.class_blocks = [(c, 0, np.zeros(0, np.int32))
+                             for c in OK.PASS_CLASSES]
+        prog.Rtot = 0
+        return
+    lens = lens.astype(np.int64)
+    order = np.lexsort((tbase, cls_arr))
+    cls_s = cls_arr[order]
+    tb_s = tbase[order]
+    len_s = lens[order]
+    bkey = (cls_s.astype(np.int64) << 32) | tb_s
+    newb = np.empty(Nr, bool)
+    newb[0] = True
+    newb[1:] = bkey[1:] != bkey[:-1]
+    bstart = np.nonzero(newb)[0]
+    brows = np.add.reduceat(len_s, bstart)
+    bpad = ((brows + OK.RPB - 1) // OK.RPB) * OK.RPB
+    bcls = cls_s[bstart]
+    btb = tb_s[bstart].astype(np.int32)
+
+    class_blocks = []
+    bucket_base = np.zeros(len(bstart), np.int64)
+    base = 0
+    for c in OK.PASS_CLASSES:
+        sel = np.nonzero(bcls == c)[0]
+        crows = int(bpad[sel].sum()) if len(sel) else 0
+        NB = crows // OK.RPB
+        if len(sel):
+            cb = np.cumsum(bpad[sel]) - bpad[sel]
+            bucket_base[sel] = base + cb
+            tb_blocks = np.repeat(btb[sel],
+                                  (bpad[sel] // OK.RPB).astype(np.int64))
+        else:
+            tb_blocks = np.zeros(0, np.int32)
+        class_blocks.append((c, NB, tb_blocks.astype(np.int32)))
+        base += NB * OK.RPB
+    prog.class_blocks = class_blocks
+    prog.Rtot = base
+
+    bid = np.cumsum(newb) - 1
+    cum = np.cumsum(len_s) - len_s
+    start = bucket_base[bid] + (cum - cum[bstart][bid])
+
+    m = np.zeros((Nr, RC_N), np.int32)
+    m[:, RC_START] = start
+    m[:, RC_LEN] = len_s
+    m[:, RC_DPH] = dph[order]
+    m[:, RC_SIZE] = modsize[order]
+    m[:, RC_POSOFF] = posoff[order]
+    m[:, RC_AMP0] = amp0[order]
+    m[:, RC_DAMP] = damp[order]
+    m[:, RC_VOL0] = vol0[order]
+    m[:, RC_DVOL] = dvol[order]
+    m[:, RC_PAN0] = pan0[order]
+    m[:, RC_DPAN] = dpan[order]
+    m[:, RC_SLOT] = slot0[order]
+    m[:, RC_MODE] = mode[order]
+    m[:, RC_OFF] = off0[order]
+    m[:, RC_TOTAL] = total[order]
+    m[:, RC_PHHI] = ph_hi[order]
+    m[:, RC_PHLO] = ph_lo[order]
+    prog.runmat = m
 
 
 def compile_superblock(core, frags, oplists, rowbatch):
@@ -358,11 +447,15 @@ def compile_superblock(core, frags, oplists, rowbatch):
     # groups come and go
     prog.ninst = _pow2(len(inst_ids) + 1, 4)
 
-    # ----- rows: bucket for the pallas osc kernel -----
-    prog.nrows = rowbatch.n
-    if rowbatch.n:
-        batch = OK.OscBatch(None)
-        for i in range(rowbatch.n):
+    # ----- rows -> 1-fragment runs for the device expansion -----
+    R = rowbatch.n
+    if R:
+        cls_arr = np.empty(R, np.int32)
+        tbase = np.empty(R, np.int32)
+        posoff = np.empty(R, np.int32)
+        ph_hi = np.empty(R, np.int32)
+        ph_lo = np.empty(R, np.int32)
+        for i in range(R):
             w, mm = rowbatch.wavemip[i]
             if w is None:
                 raise Unsupported("row without wave key")
@@ -372,40 +465,42 @@ def compile_superblock(core, frags, oplists, rowbatch):
             # = slice sample n-off); exact because the kernel's phase
             # and amp arithmetic are mod-2^32 / carried exactly, and
             # frames outside [off, off+frm) are masked before the
-            # slot scatter.  This kills the per-row placement gather.
+            # slot scatter.
             so = int(rows_off[i])
             ph_s = rowbatch.ph0[i] - so * rowbatch.dph[i]
-            amp_s = (rowbatch.amp0[i] - so * rowbatch.damp[i]) \
-                & 0xFFFFFFFF
-            if amp_s >= 1 << 31:
-                amp_s -= 1 << 32
-            batch.add(tb, npz, off, ph_s, rowbatch.dph[i],
-                      amp_s, rowbatch.damp[i])
-        prog.row_classes = batch.build()
-        R = rowbatch.n
-        Rpad = _pow2(R, 4096)
-        # position of row i in the concatenated kernel output
-        order_all = np.concatenate(
-            [order.reshape(-1) for _, _, _, order in prog.row_classes])
-        inv = np.zeros(Rpad, np.int32)
-        keep = order_all >= 0
-        inv[order_all[keep]] = np.nonzero(keep)[0]
-        prog.row_inv = inv
-        pm = np.zeros((Rpad, 4), np.int32)
-        fl = np.zeros((Rpad, 4), np.int32)
-        pm[:R, 0] = np.asarray(rowbatch.vol0, np.int64).astype(np.int32)
-        pm[:R, 1] = np.asarray(rowbatch.dvol, np.int64).astype(np.int32)
-        pm[:R, 2] = np.asarray(rowbatch.pan0, np.int64).astype(np.int32)
-        pm[:R, 3] = np.asarray(rowbatch.dpan, np.int64).astype(np.int32)
-        fl[:R, 0] = rows_slot[:R].astype(np.int32)
-        fl[R:, 0] = prog.ninst * F            # dead slot
-        fl[:R, 1] = rows_off[:R]
-        fl[:R, 2] = rows_frm[:R]
-        fl[:R, 3] = (np.asarray(rowbatch.haspm, bool) * _ROW_HASPM
-                     + np.asarray(rowbatch.stereo, bool) * _ROW_STEREO
-                     + np.asarray(rowbatch.clamp, bool) * _ROW_CLAMP)
-        prog.row_pm = pm
-        prog.row_flags = fl
+            tbase[i] = tb
+            cls_arr[i] = OK.pass_class(npz)
+            posoff[i] = off
+            ph_hi[i] = np.int64(ph_s >> 32).astype(np.int32)
+            ph_lo[i] = np.int64(ph_s & 0xFFFFFFFF).astype(np.int32)
+        so_a = rows_off[:R].astype(np.int64)
+        amp_s = (np.asarray(rowbatch.amp0, np.int64)
+                 - so_a * np.asarray(rowbatch.damp, np.int64)) \
+            .astype(np.int32)
+        # vol/pan are fragment-frame-0 normalized like phase/amp
+        vol_s = (np.asarray(rowbatch.vol0, np.int64)
+                 - so_a * np.asarray(rowbatch.dvol, np.int64)) \
+            .astype(np.int32)
+        pan_s = (np.asarray(rowbatch.pan0, np.int64)
+                 - so_a * np.asarray(rowbatch.dpan, np.int64)) \
+            .astype(np.int32)
+        mode = (np.asarray(rowbatch.haspm, bool) * _ROW_HASPM
+                + np.asarray(rowbatch.stereo, bool) * _ROW_STEREO
+                + np.asarray(rowbatch.clamp, bool) * _ROW_CLAMP) \
+            .astype(np.int32)
+        _build_runs(
+            prog, cls_arr, tbase, posoff, ph_hi, ph_lo,
+            np.asarray(rowbatch.dph, np.int64).astype(np.int32),
+            np.zeros(R, np.int32), amp_s,
+            np.asarray(rowbatch.damp, np.int64).astype(np.int32),
+            vol_s,
+            np.asarray(rowbatch.dvol, np.int64).astype(np.int32),
+            pan_s,
+            np.asarray(rowbatch.dpan, np.int64).astype(np.int32),
+            rows_slot[:R].astype(np.int32), mode,
+            rows_off[:R].astype(np.int32),
+            rows_frm[:R].astype(np.int32),
+            np.ones(R, np.int32))
 
     # ----- stash -----
     if stash_list:
@@ -463,7 +558,7 @@ def compile_superblock(core, frags, oplists, rowbatch):
 # native/a2rt_record.inc field indices
 (RF_WAVE, RF_MIP, RF_PH_HI, RF_PH_LO, RF_DPH, RF_AMP0, RF_DAMP,
  RF_VOL0, RF_DVOL, RF_PAN0, RF_DPAN, RF_OWNER, RF_FRAG, RF_OFF,
- RF_FRM, RF_MODE) = range(16)
+ RF_TOTAL, RF_MODE, RF_LEN, RF_SIZE) = range(18)
 (SF_KIND, SF_NEST, SF_CHAIN, SF_NI, SF_NO, SF_ADD, SF_SCH, SF_DCH,
  SF_SRC0, SF_SRC1, SF_DST0, SF_DST1, SF_FRAG, SF_OFF, SF_FRM,
  SF_P0, SF_P1, SF_P2, SF_P3, SF_P4, SF_P5, SF_P6, SF_SERIAL) = range(23)
@@ -504,9 +599,8 @@ def program_from_native(rows, stages, stash, F, frag_sizes,
     def slot(owner, frag):
         return inst_of[np.asarray(owner)] * F + np.asarray(frag)
 
-    # ----- rows -----
+    # ----- oscillator runs -----
     R = len(rows)
-    prog.nrows = R
     if R:
         wm = rows[:, RF_WAVE].astype(np.int64) * 16 + rows[:, RF_MIP]
         uw = np.unique(wm)
@@ -518,74 +612,19 @@ def program_from_native(rows, stages, stash, F, frag_sizes,
             tb_l[key], np_l[key], off_l[key] = t, n_, o_
         tbase = tb_l[wm]
         npass = np_l[wm]
-        posoff = off_l[wm].astype(np.int64)
-        ph = (rows[:, RF_PH_HI].astype(np.int64) << 32) \
-            | rows[:, RF_PH_LO].astype(np.uint32).astype(np.int64)
-        pos0 = ((ph >> 24) + posoff).astype(np.int32)
-        f0 = (ph & 0xFFFFFF).astype(np.int32)
-        dph = rows[:, RF_DPH].astype(np.int64)
-        dpos = (dph >> 24).astype(np.int32)
-        df = (dph & 0xFFFFFF).astype(np.int32)
-
+        posoff = off_l[wm]
         cls_idx = np.searchsorted(OK.PASS_CLASSES, npass)
         cls_arr = np.asarray(OK.PASS_CLASSES, np.int32)[cls_idx]
-
-        # sort rows by (class, tbase); pad each (class, tbase) bucket
-        # to 128-row blocks; every class always present, NB pow2 >= 8
-        order = np.lexsort((tbase, cls_arr))
-        scls = cls_arr[order]
-        stb = tbase[order]
-        bkey = (scls.astype(np.int64) << 32) | stb
-        newb = np.empty(R, bool)
-        newb[0] = True
-        newb[1:] = bkey[1:] != bkey[:-1]
-        bstart = np.nonzero(newb)[0]
-        bsizes = np.diff(np.append(bstart, R))
-        bpad = ((bsizes + OK.RPB - 1) // OK.RPB) * OK.RPB
-        prog.row_classes = []
-        Rpad = _pow2(R, 4096)
-        inv = np.zeros(Rpad, np.int32)
-        out_base = 0
-        for cls in OK.PASS_CLASSES:
-            bsel = np.nonzero(scls[bstart] == cls)[0]
-            nb_rows = int(bpad[bsel].sum()) if len(bsel) else 0
-            NB = max(8, _pow2(max(nb_rows // OK.RPB, 1)))
-            params = np.zeros((NB, OK.NPARAM, OK.RPB), np.int32)
-            tbase_arr = np.zeros(NB, np.int32)
-            pos = 0
-            for b in bsel:
-                s0, sz = bstart[b], bsizes[b]
-                ridx = order[s0:s0 + sz]          # original row ids
-                dst = pos + np.arange(sz)
-                blk = dst // OK.RPB
-                lane = dst % OK.RPB
-                params[blk, 0, lane] = pos0[ridx]
-                params[blk, 1, lane] = f0[ridx]
-                params[blk, 2, lane] = dpos[ridx]
-                params[blk, 3, lane] = df[ridx]
-                params[blk, 4, lane] = rows[ridx, RF_AMP0]
-                params[blk, 5, lane] = rows[ridx, RF_DAMP]
-                tbase_arr[np.unique(blk)] = stb[s0]
-                inv[ridx] = out_base + dst
-                pos += int(bpad[b])
-            prog.row_classes.append(
-                (cls, tbase_arr, params.reshape(-1, OK.RPB), None))
-            out_base += NB * OK.RPB
-        prog.row_inv = inv
-
-        pm = np.zeros((Rpad, 4), np.int32)
-        fl = np.zeros((Rpad, 4), np.int32)
-        pm[:R, 0] = rows[:, RF_VOL0]
-        pm[:R, 1] = rows[:, RF_DVOL]
-        pm[:R, 2] = rows[:, RF_PAN0]
-        pm[:R, 3] = rows[:, RF_DPAN]
-        fl[:R, 0] = slot(rows[:, RF_OWNER], rows[:, RF_FRAG])
-        fl[R:, 0] = ninst * F
-        fl[:R, 1] = rows[:, RF_OFF]
-        fl[:R, 2] = rows[:, RF_FRM]
-        fl[:R, 3] = rows[:, RF_MODE]
-        prog.row_pm = pm
-        prog.row_flags = fl
+        _build_runs(
+            prog, cls_arr, tbase, posoff,
+            rows[:, RF_PH_HI], rows[:, RF_PH_LO], rows[:, RF_DPH],
+            rows[:, RF_SIZE], rows[:, RF_AMP0], rows[:, RF_DAMP],
+            rows[:, RF_VOL0], rows[:, RF_DVOL], rows[:, RF_PAN0],
+            rows[:, RF_DPAN],
+            slot(rows[:, RF_OWNER], rows[:, RF_FRAG])
+            .astype(np.int32),
+            rows[:, RF_MODE], rows[:, RF_OFF], rows[:, RF_TOTAL],
+            rows[:, RF_LEN])
 
     # ----- stash -----
     NS = len(stash)
@@ -687,41 +726,105 @@ def program_from_native(rows, stages, stash, F, frag_sizes,
 #   Device execution
 # =================================================================
 
-def _apply_rows(slots, atlas, classes, interpret,
-                class_args, inv, row_pm, row_flags):
-    """classes: static list of (pass_class, NB); class_args: list of
-    (tbase, params) device arrays; inv int32[Rpad] position of row i
-    in the concatenated kernel output; row_pm int32[Rpad,4];
-    row_flags int32[Rpad,4] = (slot, off, frm, mode)."""
-    outs = []
-    for (cls, NB), (tbase, params) in zip(classes, class_args):
-        res = OK._osc_call(cls, tbase, params, atlas,
-                           interpret=interpret)
-        outs.append(res.T)                      # (NB*RPB, 64)
-    osc = jnp.take(jnp.concatenate(outs, axis=0), inv, axis=0)
+def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
+                 dead_slot, interpret):
+    """Expands oscillator runs into per-fragment kernel rows ON THE
+    DEVICE, evaluates them with the pallas kernel and scatter-adds
+    the panmixed audio into the slots.
 
-    pm = row_pm.astype(jnp.int64)
-    fl = row_flags
+    class_sig: static tuple of (pass_class, NB); tbase_devs: per-class
+    int32[NB] device arrays; runmat: int32[Nr, RC_N].  A run's row k
+    (0 <= k < LEN) is its fragment FRAG0+k with
+        phase  = wrap(PH0 + k*64*DPH)   [mod SIZE<<24 when looped]
+        amp0   = AMP0 + k*64*DAMP       [int32 wrap]
+        vol/pan likewise; slot = SLOT + k
+    — exactly the values the per-fragment record pass would have
+    emitted (native/a2rt_record.inc rec_commit merges only when this
+    linear prediction holds)."""
+    Rtot = sum(NB * OK.RPB for _, NB in class_sig)
+    rm = runmat
+    start = rm[:, RC_START]
+    alive_run = (rm[:, RC_LEN] > 0).astype(jnp.int32)
+    mark = jnp.zeros(Rtot + 1, jnp.int32).at[
+        jnp.clip(start, 0, Rtot)].add(alive_run)
+    rid = jnp.cumsum(mark[:Rtot]) - 1
+    g = jnp.take(rm, jnp.clip(rid, 0, None), axis=0)  # [Rtot, RC_N]
+    p = jnp.arange(Rtot, dtype=jnp.int32)
+    k = p - g[:, RC_START]
+    alive = (rid >= 0) & (k < g[:, RC_LEN])
+    k64 = k.astype(jnp.int64)
+    dph = g[:, RC_DPH]
+    ph = ((g[:, RC_PHHI].astype(jnp.int64) << 32)
+          | (g[:, RC_PHLO].astype(jnp.int64) & 0xFFFFFFFF)) \
+        + k64 * (dph.astype(jnp.int64) << 6)
+    msz = g[:, RC_SIZE].astype(jnp.int64) << 24
+    wrap = (msz > 0) & (k > 0)
+    mdiv = jnp.where(wrap, msz, 1)
+    ph = jnp.where(wrap, ph % mdiv, ph)
+    az = alive.astype(jnp.int32)
+    pos = ((ph >> 24).astype(jnp.int32) + g[:, RC_POSOFF]) * az
+    f = (ph & 0xFFFFFF).astype(jnp.int32) * az
+    n64k = k64 << 6
+    amp = (g[:, RC_AMP0].astype(jnp.int64)
+           + n64k * g[:, RC_DAMP]).astype(jnp.int32) * az
+    damp = g[:, RC_DAMP] * az
+    zeros = jnp.zeros_like(pos)
+    fields = [pos, f, (dph >> 24) * az, (dph & 0xFFFFFF) * az,
+              amp, damp, zeros, zeros]
+
+    outs = []
+    b0 = 0
+    for (cls, NB), tb in zip(class_sig, tbase_devs):
+        if not NB:
+            continue
+        P = NB * OK.RPB
+        par = jnp.stack(
+            [x[b0:b0 + P].reshape(NB, OK.RPB) for x in fields],
+            axis=1).reshape(NB * OK.NPARAM, OK.RPB)
+        res = OK._osc_call(cls, tb, par, atlas, interpret=interpret)
+        outs.append(res.T)                      # (P, 64)
+        b0 += P
+    osc = jnp.concatenate(outs, axis=0)         # [Rtot, FRAG]
+
+    # per-row panmix: vol/pan are fragment-frame-0 normalized, so the
+    # row-k ramp base is VOL0 + k*64*DVOL (int32 wrap, matching the
+    # C++ run-continuation prediction) evaluated at absolute
+    # intra-fragment samples
+    vol0 = (g[:, RC_VOL0].astype(jnp.int64)
+            + n64k * g[:, RC_DVOL]).astype(jnp.int32)
+    pan0 = (g[:, RC_PAN0].astype(jnp.int64)
+            + n64k * g[:, RC_DPAN]).astype(jnp.int32)
+    off = jnp.where(k == 0, g[:, RC_OFF], 0)
+    end = jnp.clip(g[:, RC_OFF].astype(jnp.int64)
+                   + g[:, RC_TOTAL].astype(jnp.int64)
+                   - (k64 << 6), 0, FRAG)
+    end = jnp.where(alive, end, 0)
+    slot_r = jnp.where(alive, g[:, RC_SLOT] + k, dead_slot)
+    mode = g[:, RC_MODE]
+
     n = jnp.arange(FRAG, dtype=jnp.int64)[None, :]
-    # rows were phase-shifted at compile time so the kernel computed
-    # absolute frame positions; panmix ramps run in slice-local
-    # samples ns = n - off, and frames outside the slice are masked
-    off = fl[:, 1].astype(jnp.int64)[:, None]
-    frm = fl[:, 2].astype(jnp.int64)[:, None]
-    ns = n - off
-    valid = (ns >= 0) & (ns < frm)
+    valid = (n >= off.astype(jnp.int64)[:, None]) \
+        & (n < end[:, None])
     osc64 = osc.astype(jnp.int64)
-    vol = pm[:, 0:1] + ns * pm[:, 1:2]
-    pan = pm[:, 2:3] + ns * pm[:, 3:4]
+    # the int64 ramp is folded back through int32 so the wrap carry
+    # introduced by the fragment-frame-0 normalization cancels: the
+    # engine's true (never-overflowing) i32 value is recovered at
+    # every valid sample
+    vol = (vol0.astype(jnp.int64)[:, None]
+           + n * g[:, RC_DVOL].astype(jnp.int64)[:, None]) \
+        .astype(jnp.int32).astype(jnp.int64)
+    pan = (pan0.astype(jnp.int64)[:, None]
+           + n * g[:, RC_DPAN].astype(jnp.int64)[:, None]) \
+        .astype(jnp.int32).astype(jnp.int64)
     vp = (pan * vol) >> 24
     v0 = vol - vp
     v1 = vol + vp
     lim = vol << 1
-    clamp = ((fl[:, 3] & _ROW_CLAMP) != 0)[:, None]
+    clamp = ((mode & _ROW_CLAMP) != 0)[:, None]
     v0 = jnp.where(clamp, jnp.minimum(v0, lim), v0)
     v1 = jnp.where(clamp, jnp.minimum(v1, lim), v1)
-    haspm = ((fl[:, 3] & _ROW_HASPM) != 0)[:, None]
-    stereo = ((fl[:, 3] & _ROW_STEREO) != 0)[:, None]
+    haspm = ((mode & _ROW_HASPM) != 0)[:, None]
+    stereo = ((mode & _ROW_STEREO) != 0)[:, None]
     mono_pm = (osc64 * vol) >> 24
     l_pm = (osc64 * v0) >> 24
     r_pm = (osc64 * v1) >> 24
@@ -730,7 +833,7 @@ def _apply_rows(slots, atlas, classes, interpret,
     ch0s = jnp.where(valid, ch0, 0)
     ch1s = jnp.where(valid, ch1, 0)
     audio = jnp.stack([ch0s, ch1s], axis=1).astype(jnp.int32)
-    return slots.at[fl[:, 0].astype(jnp.int64)].add(audio)
+    return slots.at[slot_r.astype(jnp.int64)].add(audio)
 
 
 def _emit(slots, dst, ch_out, mask, add):
@@ -889,14 +992,20 @@ def _threaded_put(arr, nchunks=8, min_bytes=1 << 19):
     k = min(nchunks, arr.shape[0])
     bounds = np.linspace(0, arr.shape[0], k + 1).astype(int)
     outs = [None] * k
+    errs = []
 
     def g(i):
-        outs[i] = jax.device_put(arr[bounds[i]:bounds[i + 1]])
+        try:
+            outs[i] = jax.device_put(arr[bounds[i]:bounds[i + 1]])
+        except BaseException as e:
+            errs.append(e)
     th = [threading.Thread(target=g, args=(i,)) for i in range(k)]
     for t in th:
         t.start()
     for t in th:
         t.join()
+    if errs:
+        raise errs[0]
     return jnp.concatenate(outs, axis=0)
 
 
@@ -908,14 +1017,20 @@ def _threaded_get(dev, nchunks=8):
     bounds = np.linspace(0, dev.shape[0], k + 1).astype(int)
     parts = [dev[bounds[i]:bounds[i + 1]] for i in range(k)]
     outs = [None] * k
+    errs = []
 
     def g(i):
-        outs[i] = np.asarray(parts[i])
+        try:
+            outs[i] = np.asarray(parts[i])
+        except BaseException as e:
+            errs.append(e)
     th = [threading.Thread(target=g, args=(i,)) for i in range(k)]
     for t in th:
         t.start()
     for t in th:
         t.join()
+    if errs:
+        raise errs[0]
     return np.concatenate(outs, axis=0)
 
 
@@ -936,6 +1051,26 @@ class DeviceMixer:
         self._rings = {}         # unit_id -> [jnp (2, SIZE) int32, pos]
         self._fns = {}           # signature -> jitted fn
         self._hw = {}            # high-water marks for _repad
+        # profiled structure union (observe()): when non-empty,
+        # _repad inserts dead entries for absent stages/fbdelays so
+        # every superblock of a profiled song shares ONE signature —
+        # and thus ONE jit compile
+        self._union_stages = {}  # stage key -> template
+        self._union_fbd = {}     # unit_id -> template dict
+
+    def observe(self, prog):
+        """Profile pass: folds this program's shapes into the
+        high-water marks and the stage-structure union without
+        dispatching anything.  After observing every superblock of a
+        song, all its real dispatches share one jit signature."""
+        self._repad(prog)
+        for st in prog.stages:
+            self._union_stages[st["key"]] = st["arr"].shape[0]
+        for fd in prog.fbdelays:
+            self._union_fbd[fd["unit_id"]] = {
+                "key": fd["key"], "stereoin": fd["stereoin"],
+                "stereoout": fd["stereoout"], "add": fd["add"],
+                "chunk": fd["chunk"], "ns": fd["arr"].shape[0]}
 
     def _atlas(self):
         pa = self.core._pair_atlas
@@ -956,62 +1091,64 @@ class DeviceMixer:
         steady-state superblocks reuse compiled signatures instead of
         recompiling on every pow2 crossing."""
         hw = self._hw
-        dead = prog.ninst * prog.F
 
         def grow(key, n):
             m = max(hw.get(key, 0), n)
             hw[key] = m
             return m
 
-        # rows
-        if prog.row_flags is not None:
-            R = prog.row_flags.shape[0]
-            Rpad = grow("rows", R)
-            if Rpad > R:
-                fl = np.zeros((Rpad, 4), np.int32)
-                fl[:, 0] = dead
-                fl[:R] = prog.row_flags
-                pm = np.zeros((Rpad, 4), np.int32)
-                pm[:R] = prog.row_pm
-                inv = np.zeros(Rpad, np.int32)
-                inv[:R] = prog.row_inv
-                prog.row_flags, prog.row_pm, prog.row_inv = fl, pm, inv
-            # padding a class shifts the output base of later classes
-            # in the concatenated kernel output — remap row_inv
-            old_bases = []
-            new_bases = []
+        # instance-count floor: padding instances are never read (all
+        # real slots index inst < the build-time count), so stale
+        # dead-slot indices inside already-built stage arrays remain
+        # harmless writes to unused slots
+        prog.ninst = grow("ninst", prog.ninst)
+        dead = prog.ninst * prog.F
+
+        # oscillator runs: pow2-quantized monotone class-block growth;
+        # growing a class shifts the bases of later classes in the
+        # concatenated row space, so run starts are remapped
+        if prog.runmat is not None:
+            old_ends = []
+            shift = []
             ob = nb = 0
-            classes = []
-            for cls, tbase, params, order in prog.row_classes:
-                NB = tbase.shape[0]
-                NBp = grow(("cls", cls), NB)
-                old_bases.append(ob)
-                new_bases.append(nb)
+            blocks = []
+            for cls, NB, tb in prog.class_blocks:
+                NBp = grow(("cls", cls), _pow2(max(NB, 1), 8))
+                shift.append(nb - ob)
                 ob += NB * OK.RPB
+                old_ends.append(ob)
                 nb += NBp * OK.RPB
                 if NBp > NB:
-                    t2 = np.zeros(NBp, np.int32)
-                    t2[:NB] = tbase
-                    p2 = np.zeros((NBp * OK.NPARAM, OK.RPB), np.int32)
-                    p2[:NB * OK.NPARAM] = params
-                    tbase, params = t2, p2
-                classes.append((cls, tbase, params, order))
-            prog.row_classes = classes
-            if ob != nb:
-                edges = np.asarray(old_bases[1:] + [ob])
-                ci = np.searchsorted(edges, prog.row_inv, side="right")
-                shift = (np.asarray(new_bases)
-                         - np.asarray(old_bases))[ci]
-                prog.row_inv = (prog.row_inv
-                                + shift.astype(np.int32))
-        if prog.stash_audio is not None:
-            NS = prog.stash_audio.shape[0]
+                    tb = np.concatenate(
+                        [tb, np.zeros(NBp - NB, np.int32)])
+                blocks.append((cls, NBp, tb))
+            prog.class_blocks = blocks
+            shift.append(nb - ob)        # dead-run sentinel (== Rtot)
+            starts = prog.runmat[:, RC_START].astype(np.int64)
+            if nb != ob:
+                ci = np.searchsorted(np.asarray(old_ends), starts,
+                                     side="right")
+                prog.runmat[:, RC_START] = (
+                    starts + np.asarray(shift, np.int64)[ci]) \
+                    .astype(np.int32)
+            prog.Rtot = nb
+            Nr = prog.runmat.shape[0]
+            Nrp = grow("runs", _pow2(max(Nr, 1), 1024))
+            if Nrp > Nr:
+                m = np.zeros((Nrp, RC_N), np.int32)
+                m[:, RC_START] = prog.Rtot
+                m[:Nr] = prog.runmat
+                prog.runmat = m
+        if prog.stash_audio is not None or hw.get("stash", 0):
+            NS = prog.stash_audio.shape[0] \
+                if prog.stash_audio is not None else 0
             NSp = grow("stash", NS)
             if NSp > NS:
                 sa = np.zeros((NSp, 2, FRAG), np.int32)
-                sa[:NS] = prog.stash_audio
                 sl = np.full(NSp, dead, np.int32)
-                sl[:NS] = prog.stash_slot
+                if NS:
+                    sa[:NS] = prog.stash_audio
+                    sl[:NS] = prog.stash_slot
                 prog.stash_audio, prog.stash_slot = sa, sl
         for st in prog.stages:
             K = st["arr"].shape[0]
@@ -1032,10 +1169,39 @@ class DeviceMixer:
                 arr[:NS] = fd["arr"]
                 fd["arr"] = arr
 
+        # profiled structure union: emit dead entries for stages /
+        # fbdelay instances absent from this superblock so the jit
+        # signature matches every other superblock of the song
+        if self._union_stages:
+            have = {st["key"] for st in prog.stages}
+            for key, K in self._union_stages.items():
+                if key in have:
+                    continue
+                K = max(K, hw.get(("st",) + key, K))
+                arr = np.zeros((K, 9), np.int32)
+                arr[:, 0] = dead
+                arr[:, 1] = dead
+                prog.stages.append({"kind": key[2], "key": key,
+                                    "arr": arr, "n": 0})
+        if self._union_fbd:
+            have = {fd["unit_id"] for fd in prog.fbdelays}
+            for uid, t in self._union_fbd.items():
+                if uid in have:
+                    continue
+                ns = max(t["ns"], hw.get(("fbd", uid, t["chunk"]),
+                                         t["ns"]))
+                ns = ((ns + t["chunk"] - 1) // t["chunk"]) \
+                    * t["chunk"]
+                prog.fbdelays.append({
+                    "unit_id": uid, "key": t["key"],
+                    "stereoin": t["stereoin"],
+                    "stereoout": t["stereoout"], "add": t["add"],
+                    "arr": np.zeros((ns, 13), np.int32), "n": 0,
+                    "chunk": t["chunk"]})
+
     def _signature(self, prog):
-        rows = tuple((cls, arr.shape[0])
-                     for cls, arr, _, _ in prog.row_classes)
-        rpad = prog.row_flags.shape[0] if prog.row_flags is not None             else 0
+        rows = tuple((cls, NB) for cls, NB, _ in prog.class_blocks)
+        rpad = prog.runmat.shape[0] if prog.runmat is not None             else 0
         ns = prog.stash_audio.shape[0] if prog.stash_audio is not None             else 0
         items = []
         for st in prog.stages:
@@ -1052,15 +1218,16 @@ class DeviceMixer:
         F, ninst, minst, mch, rows_sig, rpad, ns, items = sig
         interpret = self.interpret
         exec_items = list(items)
+        Rtot = sum(NB * OK.RPB for _, NB in rows_sig)
 
-        def fn(atlas, class_args, inv, row_pm, row_flags,
-               stash_audio, stash_slot, stage_arrs, fbd_arrs,
-               fbd_rings, fbd_pos):
+        def fn(atlas, tbase_devs, runmat, stash_audio, stash_slot,
+               stage_arrs, fbd_arrs, fbd_rings, fbd_pos):
             nslot = ninst * F + 1
             slots = jnp.zeros((nslot, 2, FRAG), jnp.int32)
-            if rpad:
-                slots = _apply_rows(slots, atlas, rows_sig, interpret,
-                                    class_args, inv, row_pm, row_flags)
+            if rpad and Rtot:
+                slots = _expand_rows(slots, atlas, rows_sig,
+                                     tbase_devs, runmat,
+                                     ninst * F, interpret)
             if ns:
                 slots = slots.at[stash_slot].add(stash_audio)
             new_rings = []
@@ -1097,14 +1264,12 @@ class DeviceMixer:
             self._fns[sig] = fn
 
         atlas = self._atlas()
-        class_args = [(jnp.asarray(tb), _threaded_put(par))
-                      for _, tb, par, _ in prog.row_classes]
-        if prog.row_flags is not None:
-            inv = _threaded_put(prog.row_inv)
-            row_pm = _threaded_put(prog.row_pm)
-            row_flags = _threaded_put(prog.row_flags)
+        tbase_devs = [jnp.asarray(tb)
+                      for _, _, tb in prog.class_blocks]
+        if prog.runmat is not None and prog.runmat.size:
+            runmat = _threaded_put(prog.runmat)
         else:
-            inv = row_pm = row_flags = jnp.zeros((0,), jnp.int32)
+            runmat = jnp.zeros((0, RC_N), jnp.int32)
         if prog.stash_audio is not None:
             stash_audio = jnp.asarray(prog.stash_audio)
             stash_slot = jnp.asarray(prog.stash_slot)
@@ -1139,8 +1304,8 @@ class DeviceMixer:
                 fbd_ids.append(uid)
                 fbd_nframes.append(int(ob["arr"][:, 5].sum()))
 
-        master, new_rings = fn(atlas, class_args, inv, row_pm,
-                               row_flags, stash_audio, stash_slot,
+        master, new_rings = fn(atlas, tbase_devs, runmat,
+                               stash_audio, stash_slot,
                                stage_arrs, fbd_arrs, fbd_rings,
                                jnp.asarray(fbd_pos, jnp.int32)
                                if fbd_pos else

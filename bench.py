@@ -43,15 +43,18 @@ def bench_k2trance(seconds=500.0, samplerate=44100):
     return (n / samplerate) / dt
 
 
-def bench_device_path(seconds=96.0, samplerate=44100):
+def bench_device_path(seconds=192.0, samplerate=44100):
     """End-to-end k2trance render through the production TPU path:
-    native C++ record -> pallas/XLA superblock mixer -> master-only
-    readback (engine/device_render.py), bit-exact with the reference.
+    native C++ record -> run-compressed upload -> on-device run
+    expansion + pallas oscillator + superblock mix -> master-only
+    readback, pipelined (engine/device_render.py render()), bit-exact
+    with the reference.
 
-    Returns (total_xrt, steady_xrt): total includes the one-time jit
-    compiles of the song's superblock signatures; steady is the
-    per-superblock rate once signatures are cached — the sustained
-    rate of a long render or a warm server."""
+    Returns (total_xrt, steady_xrt): total includes the profile pass
+    and the song's ONE remote jit compile (3-30 s through this
+    deployment's relay, not cacheable across processes); steady is
+    the sustained pipelined rate once compiled — the rate of a long
+    render or a warm server."""
     try:
         import time as _t
         import audiality2_tpu as a2
@@ -63,20 +66,21 @@ def bench_device_path(seconds=96.0, samplerate=44100):
         r.start(0, song)
         BUF = 2752 * 64
         total = int(seconds * samplerate)
-        n = 0
-        times = []
+        marks = []
+
+        def sink(bufs, frames):
+            marks.append(_t.perf_counter())
+
         t0 = _t.perf_counter()
-        while n < total:
-            t1 = _t.perf_counter()
-            r.run(BUF)
-            times.append(_t.perf_counter() - t1)
-            n += BUF
+        r.render(total, bufsize=BUF, sink=sink)
         wall = _t.perf_counter() - t0
         r.close()
-        sb_audio = BUF / samplerate
-        steady = sorted(times)[:max(1, len(times) // 4)]
-        steady_xrt = sb_audio / (sum(steady) / len(steady))
-        return (n / samplerate) / wall, steady_xrt
+        if r.fell_back or len(marks) < 8:
+            return None, None
+        gaps = sorted(marks[i + 1] - marks[i]
+                      for i in range(len(marks) // 2, len(marks) - 1))
+        steady_xrt = (BUF / samplerate) / gaps[len(gaps) // 2]
+        return (total / samplerate) / wall, steady_xrt
     except Exception as e:
         print(f"# device path bench failed: {e}", file=sys.stderr)
         return None, None

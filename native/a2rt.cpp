@@ -277,8 +277,10 @@ struct Voice {
     int noutputs;
     i32 **outputs;      /* points at bus channel pointer array */
     int defer;              /* wtosc(+panmix) leaf: emit device rows */
-    int pending_row;        /* row index awaiting panmix attach */
+    int pending_row;        /* -3: candidate awaiting panmix attach */
     int pending_stash;
+    int run_idx;            /* open run (a2rt_record.inc rec_commit) */
+    i64 run_epoch;          /* record-call epoch the run belongs to */
     i32 stash_tmp[MAXFRAG];
     /* call stack */
     struct StackEntry {
@@ -373,6 +375,8 @@ struct State {
 
     /* record mode (a2rt_record.inc) */
     int recording;
+    i64 rec_epoch;      /* bumped per a2rt_record call; stale
+                           voice->run_epoch never matches */
     struct RecBufs *rec;
     std::unordered_map<i32 *, i64> busowner;
     std::unordered_map<i32 *, int> buschan;
@@ -392,7 +396,8 @@ struct State {
               now_frames(0), last_error(0), master(nullptr),
               rootvoice(nullptr), next_vhandle(0x40000000),
               activevoices(0), totalvoices(0), instructions(0),
-              recording(0), rec(nullptr), unit_serial(1) {
+              recording(0), rec_epoch(0), rec(nullptr),
+              unit_serial(1) {
         memset(scratch, 0, sizeof(scratch));
     }
 
@@ -428,6 +433,7 @@ struct State {
         v->units = nullptr; v->sub = nullptr; v->handle = -1;
         v->flags = 0; v->ncregs = FIXEDREGS;
         v->defer = 0; v->pending_row = -1; v->pending_stash = 0;
+        v->run_idx = -1; v->run_epoch = 0;
         v->stack.clear();
         memset(v->sv, 0, sizeof(v->sv));
         memset(v->cregs, 0, sizeof(v->cregs));
@@ -704,6 +710,7 @@ int a2rt_record(State *st, int frames,
     rb.err = 0;
     st->rec = &rb;
     st->recording = 1;
+    ++st->rec_epoch;
     for (int c = 0; c < st->master->channels; ++c) {
         st->busowner[st->master->bufs[c]] = 0;
         st->buschan[st->master->bufs[c]] = c;
@@ -773,4 +780,8 @@ static int dump_voice(State *st, Voice *v, i32 *out, int pos, int max,
 
 extern "C" int a2rt_dump_voices(State *st, i32 *out, int max) {
     return dump_voice(st, st->rootvoice, out, 0, max, 0);
+}
+
+extern "C" void a2rt_rec_stats(i64 *out) {
+    memcpy(out, rec_stats, sizeof(rec_stats));
 }

@@ -49,6 +49,29 @@ def test_device_render_golden(song, big):
     assert (mine[:m] == gold[:m]).all()
 
 
+@pytest.mark.parametrize("song", ["k2trance", "k2loader"])
+def test_device_render_pipelined_profiled(song):
+    # the production render() path: profile pass -> single unified
+    # jit signature -> pipelined record/dispatch/fetch, with the
+    # final superblock recorded full-size and trimmed
+    i = a2.open_engine(44100, 4096, 1, batched=False)
+    prog = i.get(i.load(f"{BENCH}/{song}.a2s"), "Song")
+    r = DeviceRenderer(i, channels=1)
+    r.timestamp_reset()
+    r.start(0, prog)
+    total = int(2.5 * 44100)
+    out = r.render(total, bufsize=31 * 64)
+    nsigs = len(r.mixer._fns)
+    fb = r.fell_back
+    r.close()
+    assert not fb
+    assert out.shape == (1, total)
+    assert nsigs == 1, f"profiled render compiled {nsigs} signatures"
+    gold = np.fromfile(f"{GOLD}/{song}-5s-44100.raw", np.int32)
+    m = total - total % 4096
+    assert (out[0][:m] == gold[:m]).all()
+
+
 def test_device_render_fallback_golden():
     # wstest uses waveshaper (no device kernel): the renderer must
     # restart on the pure native path and stay golden
