@@ -29,7 +29,62 @@ class DeviceRenderer:
     """Drives a NativeRenderer in record mode and mixes on the TPU.
 
     Drop-in replacement for NativeRenderer's offline rendering API
-    (timestamp_reset / start / play / send / run / close)."""
+    (timestamp_reset / start / play / send / run / close).
+
+    The FIRST Mosaic compile of the oscillator kernel in a process is
+    extremely slow through this deployment's TPU relay (40-400 s,
+    content-cache-cold; every later pallas compile is <1 s), so a
+    background thread warms it once per process and renders bridge
+    through the bit-exact native path until the device is ready —
+    a render never stalls waiting for the compiler."""
+
+    import threading as _threading
+    _warm_lock = _threading.Lock()
+    _warm_thread = None
+    _warm_done = _threading.Event()
+
+    @classmethod
+    def _ensure_warm(cls):
+        with cls._warm_lock:
+            if cls._warm_thread is not None:
+                return
+            import threading
+            import atexit
+            # tearing the process down while the compile thread is
+            # inside the PJRT client aborts (C++ exception in a dying
+            # thread); wait for it at exit
+            atexit.register(cls._warm_done.wait)
+
+            def go():
+                try:
+                    import jax
+                    import jax.numpy as jnp
+                    from ..tpu import osc_kernel as OK
+                    atlas = jnp.zeros((64, 128), jnp.int32)
+                    tb = jnp.zeros(8, jnp.int32)
+                    par = jnp.zeros((8 * OK.NPARAM, OK.RPB), jnp.int32)
+                    jax.jit(lambda t, p: OK._osc_call(1, t, p, atlas)) \
+                        (tb, par).block_until_ready()
+                except BaseException:
+                    pass       # device unusable -> renders stay native
+                finally:
+                    cls._warm_done.set()
+            cls._warm_thread = threading.Thread(target=go, daemon=True)
+            cls._warm_thread.start()
+
+    def _device_ready(self):
+        if self.mixer.interpret:
+            return True
+        DeviceRenderer._ensure_warm()
+        return DeviceRenderer._warm_done.is_set()
+
+    def wait_device(self, timeout=None):
+        """Blocks until the per-process kernel warmup is done (True),
+        or the timeout expires (False)."""
+        if self.mixer.interpret:
+            return True
+        DeviceRenderer._ensure_warm()
+        return DeviceRenderer._warm_done.wait(timeout)
 
     def __init__(self, interface, channels=None, interpret=None):
         from ..tpu.superblock import DeviceMixer
@@ -41,8 +96,11 @@ class DeviceRenderer:
         self._atlas_handles = set()
         self.mixer = DeviceMixer(self, interpret=interpret)
         self.fell_back = False
+        self.bridged_frames = 0  # rendered natively during warmup
         self._calls = []         # replayed on native fallback
         self._pending = None     # (prog, frames) in-flight superblock
+        if not self.mixer.interpret:
+            DeviceRenderer._ensure_warm()
 
     # ---- control API (recorded for fallback replay) ----
 
@@ -103,7 +161,8 @@ class DeviceRenderer:
             out = self.nr.run(frames)
             self._rendered += frames
             return out
-        try:
+        self.wait_device()       # run() is the test/debug surface:
+        try:                     # block for the warmup, use the chip
             rows, stages, stash, nfrag = self.nr.record(frames)
         except Exception:
             self._fallback(self._rendered, frames)
@@ -162,8 +221,7 @@ class DeviceRenderer:
         if bufsize is None:
             bufsize = min(total_frames, 2752 * 64)
         bufsize -= bufsize % 64 or 0
-        if profile and not self.fell_back:
-            self._profile(total_frames, bufsize)
+        do_profile = [profile]   # lazily, at first device use
         chunks = []
         emitted = [0]
 
@@ -187,7 +245,11 @@ class DeviceRenderer:
         while n < total_frames or pending is not None \
                 or fetcher is not None:
             handle = None
-            if n < total_frames and not self.fell_back:
+            if n < total_frames and not self.fell_back \
+                    and self._device_ready():
+                if do_profile[0]:
+                    do_profile[0] = False
+                    self._profile(total_frames, bufsize)
                 # always a full superblock (stable jit signature);
                 # emit() trims the tail past total_frames
                 frames = bufsize
@@ -204,9 +266,16 @@ class DeviceRenderer:
                         self.atlas_entry, self.master_channels)
                     handle = self.mixer.dispatch(prog)
                     n += frames
-            elif n < total_frames:
+            elif n < total_frames and pending is None \
+                    and fetcher is None:
+                # native bridge: fell back, or the per-process kernel
+                # warmup hasn't finished yet (bit-exact either way).
+                # Runs only once in-flight superblocks have drained,
+                # so emission stays in order across the switch.
                 frames = min(bufsize, total_frames - n)
                 emit(list(self.nr.run(frames)))
+                if not self.fell_back:
+                    self.bridged_frames += frames
                 n += frames
             if fetcher is not None:
                 fetcher.join()

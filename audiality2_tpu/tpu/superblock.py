@@ -971,6 +971,10 @@ def _apply_fbdelay(slots, sig, arr, ring, bufpos):
     omask = (nvec >= oj) & (nvec < oj + fj)
     out0 = jnp.take_along_axis(out0, backidx, axis=1)
     out1 = jnp.take_along_axis(out1, backidx, axis=1)
+    if not stereoout:
+        # mono output mixes both delay channels (fbdelay.c mono
+        # variant; native a2rt_units.inc fbd_process)
+        out0 = (out0 + out1) >> 1
     if add:
         d0 = jnp.where(omask, out0, 0)
         d1 = jnp.where(omask, out1, 0)

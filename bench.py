@@ -62,6 +62,14 @@ def bench_device_path(seconds=192.0, samplerate=44100):
         i = a2.open_engine(samplerate, 4096, 1, batched=False)
         song = i.get(i.load(K2TRANCE), "Song")
         r = DeviceRenderer(i, channels=1)
+        # the once-per-process Mosaic warmup (40-400 s through this
+        # deployment's relay; <1 s on a locally-attached TPU) runs on
+        # a background thread — production renders bridge through the
+        # native path meanwhile; here we wait so the measured numbers
+        # are the device path's own
+        t0 = _t.perf_counter()
+        warmed = r.wait_device(timeout=560)
+        warm_s = _t.perf_counter() - t0
         r.timestamp_reset()
         r.start(0, song)
         BUF = 2752 * 64
@@ -74,16 +82,17 @@ def bench_device_path(seconds=192.0, samplerate=44100):
         t0 = _t.perf_counter()
         r.render(total, bufsize=BUF, sink=sink)
         wall = _t.perf_counter() - t0
+        bridged = r.bridged_frames
         r.close()
-        if r.fell_back or len(marks) < 8:
-            return None, None
+        if r.fell_back or not warmed or bridged or len(marks) < 8:
+            return None, None, warm_s
         gaps = sorted(marks[i + 1] - marks[i]
                       for i in range(len(marks) // 2, len(marks) - 1))
         steady_xrt = (BUF / samplerate) / gaps[len(gaps) // 2]
-        return (total / samplerate) / wall, steady_xrt
+        return (total / samplerate) / wall, steady_xrt, warm_s
     except Exception as e:
         print(f"# device path bench failed: {e}", file=sys.stderr)
-        return None, None
+        return None, None, None
 
 
 def bench_osc_kernel(R=16384, samplerate=44100):
@@ -130,10 +139,17 @@ def bench_osc_kernel(R=16384, samplerate=44100):
 
 
 def main():
+    # start the once-per-process TPU kernel warmup now so it overlaps
+    # the native benchmarks below
+    try:
+        from audiality2_tpu.engine.device_render import DeviceRenderer
+        DeviceRenderer._ensure_warm()
+    except Exception:
+        pass
     # best of two runs: the shared cloud host shows ~15% run-to-run
     # variance; peak throughput is the stable, comparable number
     xrt = max(bench_k2trance(), bench_k2trance())
-    dev_total, dev_steady = bench_device_path()
+    dev_total, dev_steady, warm_s = bench_device_path()
     osc = bench_osc_kernel()
     result = {
         "metric": "k2trance_offline_render",
@@ -148,6 +164,8 @@ def main():
     if dev_total is not None:
         result["tpu_device_path_xrt"] = round(dev_total, 2)
         result["tpu_device_path_steady_xrt"] = round(dev_steady, 2)
+    if warm_s is not None:
+        result["tpu_kernel_warmup_s"] = round(warm_s, 1)
     if osc is not None:
         result["tpu_osc_kernel_msamples_s"] = int(osc / 1e6)
     print(json.dumps(result))

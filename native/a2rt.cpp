@@ -19,6 +19,7 @@
  */
 
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <cmath>
@@ -275,8 +276,17 @@ struct Voice {
     Voice *sub;         /* newest first */
     Voice *sv[SV_LUT];
     int noutputs;
-    i32 **outputs;      /* points at bus channel pointer array */
+    i32 **outputs;      /* points at bus channel pointer array;
+                           REDIRECTED to the inline unit's buffers at
+                           unit init (subvoices spawn into them) */
+    int ext_noutputs;   /* the voice's EXTERNAL outputs (parent bus),
+                           untouched by the inline redirect — what
+                           the chain's final units write */
+    i32 **ext_outputs;
     int defer;              /* wtosc(+panmix) leaf: emit device rows */
+    int hostsub;            /* chain has host-only units: in record
+                               mode the whole subtree renders natively
+                               and ships as stash patches */
     int pending_row;        /* -3: candidate awaiting panmix attach */
     int pending_stash;
     int run_idx;            /* open run (a2rt_record.inc rec_commit) */
@@ -375,11 +385,13 @@ struct State {
 
     /* record mode (a2rt_record.inc) */
     int recording;
+    int hostsub_active; /* inside a host-rendered subtree */
     i64 rec_epoch;      /* bumped per a2rt_record call; stale
                            voice->run_epoch never matches */
     struct RecBufs *rec;
     std::unordered_map<i32 *, i64> busowner;
     std::unordered_map<i32 *, int> buschan;
+    std::unordered_map<i32 *, int> busfrag;  /* last claim fragment */
     std::unordered_set<i32 *> busgen;   /* buffers claimed by a gen */
     i64 unit_serial;
 
@@ -396,8 +408,8 @@ struct State {
               now_frames(0), last_error(0), master(nullptr),
               rootvoice(nullptr), next_vhandle(0x40000000),
               activevoices(0), totalvoices(0), instructions(0),
-              recording(0), rec_epoch(0), rec(nullptr),
-              unit_serial(1) {
+              recording(0), hostsub_active(0), rec_epoch(0),
+              rec(nullptr), unit_serial(1) {
         memset(scratch, 0, sizeof(scratch));
     }
 
@@ -432,7 +444,9 @@ struct State {
         v->next = nullptr; v->events = nullptr; v->program = nullptr;
         v->units = nullptr; v->sub = nullptr; v->handle = -1;
         v->flags = 0; v->ncregs = FIXEDREGS;
-        v->defer = 0; v->pending_row = -1; v->pending_stash = 0;
+        v->defer = 0; v->hostsub = 0;
+        v->ext_outputs = nullptr; v->ext_noutputs = 0;
+        v->pending_row = -1; v->pending_stash = 0;
         v->run_idx = -1; v->run_epoch = 0;
         v->stack.clear();
         memset(v->sv, 0, sizeof(v->sv));
@@ -573,6 +587,8 @@ int a2rt_init_root(State *st, int rootprog) {
     v->r[R_TR] = 0;
     v->noutputs = st->master->channels;
     v->outputs = st->master->bufs;
+    v->ext_outputs = st->master->bufs;
+    v->ext_noutputs = v->noutputs;
     v->handle = 0;
     st->vhandles[0] = v;
     voice_start(st, v, p, 0, nullptr);

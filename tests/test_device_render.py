@@ -38,7 +38,9 @@ def _render(song, secs, bufsize=4096):
                                       ("pulsetronic", True),
                                       ("fmtest3", True),
                                       ("dctest", True),
-                                      ("k2epilogue", True)])
+                                      ("k2epilogue", True),
+                                      ("wstest", True),
+                                      ("k2loader", True)])
 def test_device_render_golden(song, big):
     buf = 1376 * 64 if big else 4096      # ~2 s superblocks when big
     mine, fb = _render(song, 2.5, bufsize=buf)
@@ -57,8 +59,9 @@ def test_device_render_pipelined_profiled(song):
     i = a2.open_engine(44100, 4096, 1, batched=False)
     prog = i.get(i.load(f"{BENCH}/{song}.a2s"), "Song")
     r = DeviceRenderer(i, channels=1)
-    r.timestamp_reset()
-    r.start(0, prog)
+    r.wait_device()      # render() would bridge natively while the
+    r.timestamp_reset()  # per-process kernel warmup runs; this test
+    r.start(0, prog)     # is about the device pipeline, so wait
     total = int(2.5 * 44100)
     out = r.render(total, bufsize=31 * 64)
     nsigs = len(r.mixer._fns)
@@ -72,11 +75,156 @@ def test_device_render_pipelined_profiled(song):
     assert (out[0][:m] == gold[:m]).all()
 
 
-def test_device_render_fallback_golden():
-    # wstest uses waveshaper (no device kernel): the renderer must
-    # restart on the pure native path and stay golden
-    mine, fb = _render("wstest", 1.0)
-    gold = np.fromfile(f"{GOLD}/wstest-5s-44100.raw", np.int32)
-    m = min(len(gold), len(mine))
+_MONOFBD_SCRIPT = """
+Song(V=1)
+{
+	struct { wtosc; fbdelay; panmix }
+	drygain .5; fbgain .4; lgain .4; rgain .4
+	w saw; a (V * .3); p 0n
+	d 1100
+	a 0
+	d 100
+}
+
+export SongMain(V=1)
+{
+	struct { inline; panmix }
+	1:Song V
+	d 1300
+}
+"""
+
+
+def test_device_render_mono_fbdelay():
+    # a mono fbdelay mid-chain of a leaf voice: exercises the mono
+    # (x0+x1)>>1 output mix (fbdelay.c mono variant) and the
+    # gen-stash -> fbdelay -> panmix stage chain on the device
+    import audiality2_tpu as a2
+    from audiality2_tpu.native import NativeRenderer
+
+    def render(cls, **kw):
+        i = a2.open_engine(44100, 4096, 1, batched=False)
+        prog = i.get(i.load_string(_MONOFBD_SCRIPT, "mfb"), "SongMain")
+        r = cls(i, **kw)
+        r.timestamp_reset()
+        r.start(0, prog)
+        out = []
+        n = 0
+        while n < int(1.2 * 44100):
+            out.append(np.asarray(r.run(5 * 4096)))
+            n += 5 * 4096
+        fb = getattr(r, "fell_back", None)
+        r.close()
+        return np.concatenate(out, axis=1)[0], fb
+
+    native, _ = render(NativeRenderer, channels=1)
+    dev, fb = render(DeviceRenderer, channels=1, interpret=True)
+    assert not fb
+    assert (dev == native).all()
+
+
+_MIDFALL_SCRIPT = """
+Song(V=1)
+{
+	struct { wtosc; fbdelay; panmix }
+	drygain .5; fbgain .4; lgain .4; rgain .4
+	w saw; a (V * .3); p 0n
+	d 600
+	fbdelay 1; ldelay 1; rdelay 1
+	d 500
+	a 0
+	d 100
+}
+
+export SongMain(V=1)
+{
+	struct { inline; panmix }
+	1:Song V
+	d 1300
+}
+"""
+
+
+def test_device_render_midrender_fallback():
+    # the fbdelay goes sub-fragment only at t=0.6s: the device path
+    # renders the first superblocks, then the record pass fails and
+    # the renderer restarts natively, skipping what was already
+    # emitted — the seam must be sample-exact
+    import audiality2_tpu as a2
+    from audiality2_tpu.native import NativeRenderer
+
+    def render(cls, **kw):
+        i = a2.open_engine(44100, 4096, 1, batched=False)
+        prog = i.get(i.load_string(_MIDFALL_SCRIPT, "mf"), "SongMain")
+        r = cls(i, **kw)
+        r.timestamp_reset()
+        r.start(0, prog)
+        total = int(1.2 * 44100)
+        if cls is DeviceRenderer:
+            out = r.render(total, bufsize=5 * 4096)
+        else:
+            chunks = []
+            n = 0
+            while n < total:
+                chunks.append(np.asarray(r.run(5 * 4096)))
+                n += 5 * 4096
+            out = np.concatenate(chunks, axis=1)[:, :total]
+        fb = getattr(r, "fell_back", None)
+        r.close()
+        return out[0], fb
+
+    native, _ = render(NativeRenderer, channels=1)
+    dev, fb = render(DeviceRenderer, channels=1, interpret=True)
     assert fb
-    assert (mine[:m] == gold[:m]).all()
+    assert (dev == native[:len(dev)]).all()
+
+
+_TINYDELAY_SCRIPT = """
+Song(V=1)
+{
+	struct { wtosc; fbdelay; panmix }
+	fbdelay 1; ldelay 1; rdelay 1
+	drygain .5; fbgain .4; lgain .4; rgain .4
+	w saw; a (V * .3); p 0n
+	d 900
+	a 0
+	d 100
+}
+
+export SongMain(V=1)
+{
+	struct { inline; panmix }
+	1:Song V
+	d 1100
+}
+"""
+
+
+def test_device_render_fallback_golden():
+    # an fbdelay whose delay taps are shorter than a fragment cannot
+    # run in the device mixer's chunked scan (a tap would read its own
+    # chunk) — the renderer must transparently restart on the pure
+    # native path and the two paths must agree bit-exactly
+    import audiality2_tpu as a2
+
+    def render(cls, **kw):
+        i = a2.open_engine(44100, 4096, 1, batched=False)
+        prog = i.get(i.load_string(_TINYDELAY_SCRIPT, "ins"),
+                     "SongMain")
+        r = cls(i, **kw)
+        r.timestamp_reset()
+        r.start(0, prog)
+        out = []
+        n = 0
+        while n < 44100:
+            out.append(np.asarray(r.run(4096)))
+            n += 4096
+        fb = getattr(r, "fell_back", None)
+        r.close()
+        return np.concatenate(out, axis=1)[0], fb
+
+    from audiality2_tpu.native import NativeRenderer
+    native, _ = render(NativeRenderer, channels=1)
+    dev, fb = render(DeviceRenderer, channels=1, interpret=True)
+    assert fb
+    assert (dev == native).all()
