@@ -52,8 +52,9 @@ class DeviceRenderer:
             import atexit
             # tearing the process down while the compile thread is
             # inside the PJRT client aborts (C++ exception in a dying
-            # thread); wait for it at exit
-            atexit.register(cls._warm_done.wait)
+            # thread); wait for it at exit — bounded, so a hung remote
+            # compiler can delay exit but not deadlock it
+            atexit.register(lambda: cls._warm_done.wait(600))
 
             def go():
                 try:

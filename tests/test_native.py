@@ -34,6 +34,15 @@ def test_native_bit_exact(song):
     out = _native_render(f"{BENCH_DIR}/{song}.a2s", seconds=2.0)
     gold = load_golden(f"{song}-5s-44100.raw", len(out))
     diff = np.nonzero(out != gold)[0]
+    assert len(diff) == 0, f"first diff at {diff[0] if len(diff) else 0}"
+
+
+def test_native_bit_exact_deep():
+    # full-depth golden: 30 s of k2trance covers the whole arrangement
+    # (every instrument/effect entry) at native speed (<1 s to render)
+    out = _native_render(f"{BENCH_DIR}/k2trance.a2s", seconds=30.0)
+    gold = load_golden("k2trance-30s-44100.raw", len(out))
+    diff = np.nonzero(out != gold)[0]
     assert len(diff) == 0, (
         f"{song}: {len(diff)} diffs, first at {diff[0]}")
 
