@@ -239,15 +239,25 @@ class DeviceRenderer:
             else:
                 chunks.append(np.stack(bufs))
 
-        pending = None           # (handle,) in flight on the device
+        # four-slot pipeline, all concurrently busy in steady state:
+        #   main thread:     record+build superblock N
+        #   dispatch thread: upload superblock N-1 (mixer.dispatch —
+        #                    serialized: one in flight, so the mixer's
+        #                    ring/signature state stays ordered)
+        #   device:          compute superblock N-2 (async dispatch)
+        #   fetch thread:    read back superblock N-3, emit in order
+        rec_out = None           # built program awaiting dispatch
+        disp = None              # running dispatch thread
+        dres = [None, None]      # dispatch (handle, error)
+        pending = None           # dispatched handle (device busy)
         fetcher = None           # thread filling fetched[0]
         fetched = [None, None]
         n = 0
-        while n < total_frames or pending is not None \
+        while n < total_frames or rec_out is not None \
+                or disp is not None or pending is not None \
                 or fetcher is not None:
-            handle = None
             if n < total_frames and not self.fell_back \
-                    and self._device_ready():
+                    and self._device_ready() and rec_out is None:
                 if do_profile[0]:
                     do_profile[0] = False
                     self._profile(total_frames, bufsize)
@@ -262,12 +272,12 @@ class DeviceRenderer:
                     sizes = [64] * (frames // 64)
                     if frames % 64:
                         sizes.append(frames % 64)
-                    prog = program_from_native(
+                    rec_out = program_from_native(
                         rows, stages, stash, nfrag, sizes,
                         self.atlas_entry, self.master_channels)
-                    handle = self.mixer.dispatch(prog)
                     n += frames
-            elif n < total_frames and pending is None \
+            elif n < total_frames and rec_out is None \
+                    and disp is None and pending is None \
                     and fetcher is None:
                 # native bridge: fell back, or the per-process kernel
                 # warmup hasn't finished yet (bit-exact either way).
@@ -278,15 +288,23 @@ class DeviceRenderer:
                 if not self.fell_back:
                     self.bridged_frames += frames
                 n += frames
+            if disp is not None:
+                disp.join()
+                disp = None
+                if dres[0] is None:
+                    raise RuntimeError("superblock dispatch failed") \
+                        from dres[1]
+                pending = dres[0]
             if fetcher is not None:
                 fetcher.join()
+                fetcher = None
                 if fetched[0] is None:
                     raise RuntimeError("superblock fetch failed") \
                         from fetched[1]
                 emit(fetched[0])
-                fetcher = None
             if pending is not None:
                 h = pending
+                pending = None
 
                 def go(h=h):
                     fetched[0] = None
@@ -297,7 +315,19 @@ class DeviceRenderer:
                         fetched[1] = e
                 fetcher = threading.Thread(target=go)
                 fetcher.start()
-            pending = handle
+            if rec_out is not None:
+                prog = rec_out
+                rec_out = None
+
+                def put(prog=prog):
+                    dres[0] = None
+                    dres[1] = None
+                    try:
+                        dres[0] = self.mixer.dispatch(prog)
+                    except BaseException as e:
+                        dres[1] = e
+                disp = threading.Thread(target=put)
+                disp.start()
         if sink is not None:
             return None
         return np.concatenate(chunks, axis=1)
