@@ -93,6 +93,15 @@ def _pow2(n, lo=1):
     return p
 
 
+def _quant(n, step):
+    """Rounds n up to a multiple of step.  Used for the mixer's
+    monotone shape padding: finer than pow2 (which wastes up to 2x
+    upload and compute on padding), at the cost of a few more shape
+    crossings — which the profiled render absorbs, since its dry
+    pass pins the high-water marks before the one jit compile."""
+    return ((max(n, 1) + step - 1) // step) * step
+
+
 class _PanmixShadow:
     def __init__(self, u):
         self.vol = _shadow_ramper(u.vol)
@@ -1061,12 +1070,18 @@ class DeviceMixer:
         # and thus ONE jit compile
         self._union_stages = {}  # stage key -> template
         self._union_fbd = {}     # unit_id -> template dict
+        self._fine = False       # exact-fit padding (observe())
 
     def observe(self, prog):
         """Profile pass: folds this program's shapes into the
         high-water marks and the stage-structure union without
         dispatching anything.  After observing every superblock of a
-        song, all its real dispatches share one jit signature."""
+        song, all its real dispatches share one jit signature.
+        Profiled mixers use exact-fit padding (_quant) instead of
+        pow2 — the dry pass pins the high-water marks before the one
+        jit compile, so fine steps cost no extra signatures but cut
+        the pow2 padding's up-to-2x upload/compute waste."""
+        self._fine = True
         self._repad(prog)
         for st in prog.stages:
             self._union_stages[st["key"]] = st["arr"].shape[0]
@@ -1117,7 +1132,8 @@ class DeviceMixer:
             ob = nb = 0
             blocks = []
             for cls, NB, tb in prog.class_blocks:
-                NBp = grow(("cls", cls), _pow2(max(NB, 1), 8))
+                NBp = grow(("cls", cls), _quant(NB, 8)
+                           if self._fine else _pow2(max(NB, 1), 8))
                 shift.append(nb - ob)
                 ob += NB * OK.RPB
                 old_ends.append(ob)
@@ -1137,7 +1153,8 @@ class DeviceMixer:
                     .astype(np.int32)
             prog.Rtot = nb
             Nr = prog.runmat.shape[0]
-            Nrp = grow("runs", _pow2(max(Nr, 1), 1024))
+            Nrp = grow("runs", _quant(Nr, 2048)
+                       if self._fine else _pow2(max(Nr, 1), 1024))
             if Nrp > Nr:
                 m = np.zeros((Nrp, RC_N), np.int32)
                 m[:, RC_START] = prog.Rtot
