@@ -200,6 +200,30 @@ export SongMain(V=1)
 """
 
 
+def test_device_render_stereo_golden():
+    # stereo device render (2-channel master slots, stereo rows with
+    # pan, stereo bus tree) against the reference's interleaved
+    # stereo golden
+    i = a2.open_engine(44100, 4096, 2, batched=False)
+    prog = i.get(i.load(f"{BENCH}/k2trance.a2s"), "Song")
+    r = DeviceRenderer(i, channels=2)
+    r.wait_device()
+    r.timestamp_reset()
+    r.start(0, prog)
+    total = int(2.5 * 44100)
+    out = r.render(total, bufsize=43 * 64)
+    fb = r.fell_back
+    nsigs = len(r.mixer._fns)
+    r.close()
+    assert not fb
+    assert r.bridged_frames == 0 and nsigs == 1
+    gold = np.fromfile(f"{GOLD}/k2trance-30s-44100-st.raw",
+                       np.int32).reshape(-1, 2)
+    m = total - total % 4096
+    assert (out[0][:m] == gold[:m, 0]).all()
+    assert (out[1][:m] == gold[:m, 1]).all()
+
+
 def test_device_render_fallback_golden():
     # an fbdelay whose delay taps are shorter than a fragment cannot
     # run in the device mixer's chunked scan (a tap would read its own
