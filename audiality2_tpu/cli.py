@@ -15,6 +15,7 @@ switches mirror a2play:
       -o <file.wav>           output WAV (16-bit PCM)
       -x / -xa                dump module exports (+ VM assembly)
       --interleaved           disable the batched block engine
+      --tpu                   render through the TPU device path
 """
 
 import argparse
@@ -73,6 +74,11 @@ def main(argv=None):
                     help="MIDI handler mode (a2play -M): run the "
                          "program as an EP-7 MIDI handler and feed it "
                          "the given Standard MIDI File")
+    ap.add_argument("--tpu", action="store_true",
+                    help="render through the TPU device path "
+                         "(native record -> superblock mixer; "
+                         "bridges natively until the per-process "
+                         "kernel warmup finishes)")
     ap.add_argument("--native", action="store_true", default=None,
                     help="render through the native C++ runtime "
                          "(default when available)")
@@ -121,7 +127,12 @@ def main(argv=None):
     renderer = None
     if args.midi:
         use_native = False        # MIDI driver runs on the host engine
-    if use_native:
+    if args.tpu and not args.midi:
+        from .engine.device_render import DeviceRenderer
+        renderer = DeviceRenderer(i, channels=args.channels)
+        renderer.timestamp_reset()
+        renderer.start(0, prog, *[float(a) for a in pargs])
+    elif use_native:
         from .native import NativeRenderer
         renderer = NativeRenderer(i, channels=args.channels)
         renderer.timestamp_reset()
@@ -145,7 +156,16 @@ def main(argv=None):
                if args.stoplevel is not None else None)
     lastpeak = 0
     t0 = time.perf_counter()
-    n = 0
+    if args.tpu and renderer is not None and silence is None:
+        # pipelined profiled render (one jit signature per song)
+        def sink(bufs, frames):
+            out.append(bufs[0] if args.channels == 1 else
+                       np.stack(list(bufs[:args.channels]), axis=1)
+                       .reshape(-1))
+        renderer.render(total, sink=sink)
+        n = total
+    else:
+        n = 0
     while n < total:
         if renderer is not None:
             b = renderer.run(4096)
