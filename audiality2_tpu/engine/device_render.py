@@ -87,7 +87,8 @@ class DeviceRenderer:
         DeviceRenderer._ensure_warm()
         return DeviceRenderer._warm_done.wait(timeout)
 
-    def __init__(self, interface, channels=None, interpret=None):
+    def __init__(self, interface, channels=None, interpret=None,
+                 transfer_lock=None):
         from ..tpu.superblock import DeviceMixer
         self.i = interface
         self.nr = NativeRenderer(interface, channels=channels)
@@ -95,7 +96,8 @@ class DeviceRenderer:
         self.master_channels = self.nr.master_channels
         self._pair_atlas = PairAtlas()
         self._atlas_handles = set()
-        self.mixer = DeviceMixer(self, interpret=interpret)
+        self.mixer = DeviceMixer(self, interpret=interpret,
+                                 transfer_lock=transfer_lock)
         self.fell_back = False
         self.bridged_frames = 0  # rendered natively during warmup
         self._calls = []         # replayed on native fallback

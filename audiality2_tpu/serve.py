@@ -1,0 +1,82 @@
+"""Multi-stream serving: render many songs concurrently on one chip.
+
+The TPU-native serving mode for the superblock device path
+(engine/device_render.py): K independent streams — different songs,
+scores, or listeners — each with its own engine, DeviceRenderer and
+jit signature, rendered concurrently so the chip, the host control
+plane and the transfers all stay busy.  The per-process oscillator
+kernel warmup is shared; streams bridge through the bit-exact native
+path until it finishes, so a server starts producing audio
+immediately.
+
+Through this deployment's TPU relay, concurrent transfers from
+multiple streams are unreliable (see DESIGN.md fleet findings), so
+relay-facing work is serialized by default with a shared transfer
+lock — device compute still overlaps every stream's host record.
+On a locally-attached TPU, pass serialize_transfers=False.
+
+This is the round-2 replacement for the row-level farm
+(audiality2_tpu.farm), which merged row batches of Python batched
+engines into one dispatch; the serving path instead gives each
+stream the full native-record -> superblock-mixer pipeline.
+"""
+
+import threading
+
+import numpy as np
+
+from .engine.device_render import DeviceRenderer
+
+
+class StreamJob:
+    """One render job: `program` (handle from interface.get) started
+    with `args` on a fresh root voice of `interface`, rendered for
+    `frames` frames.  `sink(bufs, frames)` streams audio; without a
+    sink the job's output is returned as [channels][frames] int32."""
+
+    def __init__(self, interface, program, frames, args=(),
+                 channels=None, sink=None):
+        self.interface = interface
+        self.program = program
+        self.frames = frames
+        self.args = tuple(args)
+        self.channels = channels
+        self.sink = sink
+        self.output = None
+        self.error = None
+        self.renderer = None
+
+
+def render_many(jobs, bufsize=None, serialize_transfers=True,
+                interpret=None, profile=True):
+    """Renders all jobs concurrently on the device path.  Each job's
+    output is bit-exact with a solo render (streams share no mutable
+    state beyond the device itself).  Returns the job list with
+    .output filled (or .error set; the first error is re-raised)."""
+    lock = threading.Lock() if serialize_transfers else None
+    for j in jobs:
+        r = DeviceRenderer(j.interface, channels=j.channels,
+                           interpret=interpret, transfer_lock=lock)
+        r.timestamp_reset()
+        r.start(0, j.program, *j.args)
+        j.renderer = r
+
+    def go(j):
+        try:
+            j.output = j.renderer.render(
+                j.frames, bufsize=bufsize, sink=j.sink,
+                profile=profile)
+        except BaseException as e:
+            j.error = e
+        finally:
+            j.renderer.close()
+
+    threads = [threading.Thread(target=go, args=(j,)) for j in jobs]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for j in jobs:
+        if j.error is not None:
+            raise j.error
+    return jobs

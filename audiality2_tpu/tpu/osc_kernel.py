@@ -96,18 +96,32 @@ def _make_kernel(npass, interpret=False):
 
         tb = tbase_ref[pl.program_id(0)]
 
-        def lookup_pair(j):
-            # j: pair index relative to the block's table base row;
-            # returns int32-packed (d[j+1] << 16 | u16(d[j]))
-            hi = j >> 7
-            lo = j & 127
-            acc = jnp.zeros_like(j)
-            for r in range(npass):
-                row = atlas_ref[pl.ds(tb + r, 1), :]
-                src = jnp.broadcast_to(row, (FRAG, RPB))
-                g = _ta_rows(src, lo, interpret)
-                acc = jnp.where(hi == r, g, acc)
-            return acc
+        if interpret:
+            # the split-index lane shuffle is a TPU lowering trick;
+            # in the interpreter a direct gather is numerically
+            # identical (live lookups are always in range: pos >=
+            # A2_WAVEPRE, so i-1 >= 0; dead rows have amp 0 and every
+            # output limb multiplies by it) and compiles a graph
+            # npass times smaller — this is what keeps the CPU test
+            # suite's interpret-mode jit compiles tractable
+            flat = atlas_ref[:].reshape(-1)
+
+            def lookup_pair(j):
+                idx = jnp.clip(tb * RPB + j, 0, flat.shape[0] - 1)
+                return jnp.take(flat, idx)
+        else:
+            def lookup_pair(j):
+                # j: pair index relative to the block's table base
+                # row; returns int32-packed (d[j+1] << 16 | u16(d[j]))
+                hi = j >> 7
+                lo = j & 127
+                acc = jnp.zeros_like(j)
+                for r in range(npass):
+                    row = atlas_ref[pl.ds(tb + r, 1), :]
+                    src = jnp.broadcast_to(row, (FRAG, RPB))
+                    g = _ta_rows(src, lo, interpret)
+                    acc = jnp.where(hi == r, g, acc)
+                return acc
 
         def hermite(ph):
             # a2_Hermite (a2_dsp.h:64-74), int32 wrap products

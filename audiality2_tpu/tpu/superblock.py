@@ -1054,11 +1054,17 @@ class DeviceMixer:
     device pair-atlas copy and the fbdelay ring state (persist across
     superblocks)."""
 
-    def __init__(self, core, interpret=None):
+    def __init__(self, core, interpret=None, transfer_lock=None):
         self.core = core
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         self.interpret = interpret
+        # optional lock serializing relay-facing work across mixers:
+        # multi-stream serving through the deployment relay fails
+        # under concurrent transfers (see DESIGN.md fleet findings);
+        # a shared lock keeps streams safe while device compute still
+        # overlaps host record
+        self.transfer_lock = transfer_lock
         self._atlas_dev = None
         self._atlas_ver = -1
         self._rings = {}         # unit_id -> [jnp (2, SIZE) int32, pos]
@@ -1277,6 +1283,12 @@ class DeviceMixer:
         """Asynchronously dispatches a superblock; returns a handle
         for fetch().  The device computes while the host records the
         next superblock (the 1-CPU pipeline)."""
+        if self.transfer_lock is not None:
+            with self.transfer_lock:
+                return self._dispatch(prog)
+        return self._dispatch(prog)
+
+    def _dispatch(self, prog):
         self._repad(prog)
         sig = self._signature(prog)
         fn = self._fns.get(sig)
@@ -1341,7 +1353,13 @@ class DeviceMixer:
         """Blocks on the threaded readback of a dispatched superblock
         and returns master audio [channels][frames] (numpy)."""
         master, frag_sizes, mch = handle
-        out = _threaded_get(master)              # [F, mch, 64]
+        if self.transfer_lock is not None:
+            # wait for the device off-lock, serialize only the d2h
+            master.block_until_ready()
+            with self.transfer_lock:
+                out = _threaded_get(master)      # [F, mch, 64]
+        else:
+            out = _threaded_get(master)          # [F, mch, 64]
         total = sum(frag_sizes)
         if total == len(frag_sizes) * FRAG:
             flat = out.transpose(1, 0, 2).reshape(mch, total)
