@@ -1,5 +1,11 @@
 """Farm: many engine instances, one device dispatch per block.
 
+NOTE (round 2): the production serving surface is now
+`audiality2_tpu.serve.render_many` — per-stream native-record ->
+superblock-mixer pipelines (docs/device.md).  This row-level farm
+remains as the merged-dispatch form for the Python batched engine
+and its on-TPU regression test (tests/test_farm.py).
+
 The TPU-native serving mode.  The reference engine renders one song
 per process; a TPU chip is only busy when thousands of oscillator rows
 arrive per dispatch.  A Farm runs K independent batched engines
