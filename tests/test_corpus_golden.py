@@ -122,3 +122,33 @@ def test_renderwave_scripts_cross_engine(name):
     nat = np.concatenate(out2)[:N]
     assert np.array_equal(py, nat)
     assert np.abs(py).max() > 0
+
+
+# device-path coverage over the behavior-dense corpus: ramp-heavy
+# scripts stress the run-break prediction (a2rt_record.inc
+# rec_commit), env/pitch-env scripts the stash paths, importtest2 the
+# host-subtree machinery (dcblock+filter12+waveshaper chains)
+DEVICE_SPECS = [
+    ("ramptest", "Song"), ("ramptest2", "Song"),
+    ("ramptestenv", "Song"), ("pitchenvtest", "Song"),
+    ("envtest3", "Song"), ("evilnoises", "Song"),
+    ("importtest2", "Song"), ("microtonal", "Song"),
+]
+
+
+@pytest.mark.parametrize("name,prog", DEVICE_SPECS)
+def test_corpus_device(name, prog):
+    from audiality2_tpu.engine.device_render import DeviceRenderer
+    gold = _golden(name)
+    N = min(len(gold), 3 * 44100)
+    i = a2.open_engine(44100, 4096, 1, batched=False)
+    song = i.get(i.load(os.path.join(DATA_DIR, f"{name}.a2s")), prog)
+    r = DeviceRenderer(i, channels=1, interpret=True)
+    r.timestamp_reset()
+    r.start(0, song)
+    out = r.render(N, bufsize=31 * 64)
+    fb = r.fell_back
+    r.close()
+    m = N - N % 4096
+    assert (out[0][:m] == gold[:m]).all(), name
+    assert not fb, f"{name} fell back"

@@ -200,6 +200,24 @@ export SongMain(V=1)
 """
 
 
+def test_device_render_96k_golden():
+    # rate coverage: fbdelay tap lengths, msdur and the mip selector
+    # all scale with the sample rate
+    i = a2.open_engine(96000, 4096, 1, batched=False)
+    prog = i.get(i.load(f"{BENCH}/k2trance.a2s"), "Song")
+    r = DeviceRenderer(i, channels=1, interpret=True)
+    r.timestamp_reset()
+    r.start(0, prog)
+    total = int(2.0 * 96000)
+    out = r.render(total, bufsize=43 * 64)
+    fb = r.fell_back
+    r.close()
+    assert not fb
+    gold = np.fromfile(f"{GOLD}/k2trance-10s-96000.raw", np.int32)
+    m = total - total % 4096
+    assert (out[0][:m] == gold[:m]).all()
+
+
 def test_device_render_stereo_golden():
     # stereo device render (2-channel master slots, stereo rows with
     # pan, stereo bus tree) against the reference's interleaved
