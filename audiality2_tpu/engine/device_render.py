@@ -274,10 +274,9 @@ class DeviceRenderer:
                     sizes = [64] * (frames // 64)
                     if frames % 64:
                         sizes.append(frames % 64)
-                    # the numpy program build runs on the dispatch
-                    # thread; the main thread goes straight back to
-                    # recording the next superblock
-                    rec_out = (rows, stages, stash, nfrag, sizes)
+                    rec_out = program_from_native(
+                        rows, stages, stash, nfrag, sizes,
+                        self.atlas_entry, self.master_channels)
                     n += frames
             elif n < total_frames and rec_out is None \
                     and disp is None and pending is None \
@@ -319,17 +318,13 @@ class DeviceRenderer:
                 fetcher = threading.Thread(target=go)
                 fetcher.start()
             if rec_out is not None:
-                rec = rec_out
+                prog = rec_out
                 rec_out = None
 
-                def put(rec=rec):
+                def put(prog=prog):
                     dres[0] = None
                     dres[1] = None
                     try:
-                        rows, stages, stash, nfrag, sizes = rec
-                        prog = program_from_native(
-                            rows, stages, stash, nfrag, sizes,
-                            self.atlas_entry, self.master_channels)
                         dres[0] = self.mixer.dispatch(prog)
                     except BaseException as e:
                         dres[1] = e
