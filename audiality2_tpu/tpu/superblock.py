@@ -893,18 +893,28 @@ def _apply_stage(slots, key, arr):
     lim = vol << 1
     v0 = jnp.where(clamp, jnp.minimum(v0, lim), v0)
     v1 = jnp.where(clamp, jnp.minimum(v1, lim), v1)
+    # destination channel 0xFF = dropped (the native record's
+    # drop-channel variant: that side of the panmix writes an
+    # unowned, unreadable buffer)
     if ni == 1 and no == 2:
         inp = src[:, sch[0]].astype(jnp.int64)
-        return _emit(slots, a[:, 1], {dch[0]: (inp * v0) >> 24,
-                                      dch[1]: (inp * v1) >> 24},
-                     mask, add)
+        out = {}
+        if dch[0] != 0xFF:
+            out[dch[0]] = (inp * v0) >> 24
+        if dch[1] != 0xFF:
+            out[dch[1]] = (inp * v1) >> 24
+        return _emit(slots, a[:, 1], out, mask, add)
     i0 = src[:, sch[0]].astype(jnp.int64)
     i1 = src[:, sch[1]].astype(jnp.int64)
     if ni == 2 and no == 1:
         return _emit(slots, a[:, 1],
                      {dch[0]: (i0 * v0 + i1 * v1) >> 25}, mask, add)
-    return _emit(slots, a[:, 1], {dch[0]: (i0 * v0) >> 24,
-                                  dch[1]: (i1 * v1) >> 24}, mask, add)
+    out = {}
+    if dch[0] != 0xFF:
+        out[dch[0]] = (i0 * v0) >> 24
+    if dch[1] != 0xFF:
+        out[dch[1]] = (i1 * v1) >> 24
+    return _emit(slots, a[:, 1], out, mask, add)
 
 
 def _apply_fbdelay(slots, sig, arr, ring, bufpos):

@@ -133,6 +133,10 @@ DEVICE_SPECS = [
     ("ramptestenv", "Song"), ("pitchenvtest", "Song"),
     ("envtest3", "Song"), ("evilnoises", "Song"),
     ("importtest2", "Song"), ("microtonal", "Song"),
+    # split-panmix chains (wtosc; panmix 1 2; fbdelay 2 >) across
+    # multiple concurrent voices: exercises the drop-channel stage
+    # pair, per-slice scratch re-claiming and the in-chain ordering
+    ("a2jingle", "Song"),
 ]
 
 
