@@ -141,6 +141,7 @@ class SuperblockProgram:
         # the run count, not the row count
         self.runmat = None       # int32 [Nr, RC_N]
         self.nruns = 0
+        self.has_ramp = False    # any RC_RAMP run (part of the sig)
         self.class_blocks = []   # (pass_class, NB, tbase np[NB])
         self.Rtot = 0            # total expanded row capacity
         # stash
@@ -162,15 +163,28 @@ _ROW_CLAMP = 4
 # (padding) runs have LEN 0 and START == Rtot.  A run covers TOTAL
 # contiguous samples from fragment FRAG0 sample OFF, spanning LEN
 # fragments; AMP0/VOL0/PAN0 (and PH) are fragment-frame-0 normalized.
+#
+# RC_RAMP=1 marks a ramper-replay run (native/a2rt_record.inc): its
+# fragments k>=1 are reconstructed by replaying a2_PrepareRamper /
+# wtosc_run_pitch per fragment from the RC_AT..RC_PERIOD snapshot
+# (state at the END of fragment 0) in _ramp_scan — whole envelope and
+# pitch-ramp segments ship as single runs even though the reference's
+# per-fragment integer division bends them off any line.
 (RC_START, RC_LEN, RC_DPH, RC_SIZE, RC_POSOFF, RC_AMP0, RC_DAMP,
  RC_VOL0, RC_DVOL, RC_PAN0, RC_DPAN, RC_SLOT, RC_MODE, RC_OFF,
- RC_TOTAL, RC_PHHI, RC_PHLO) = range(17)
-RC_N = 17
+ RC_TOTAL, RC_PHHI, RC_PHLO,
+ RC_RAMP, RC_MIP, RC_AT, RC_ATMR, RC_VT, RC_VTMR, RC_PT, RC_PTMR,
+ RC_PV, RC_PTGT, RC_PTIMER, RC_PRAMP, RC_DPHRAW, RC_PERIOD) = range(31)
+RC_N = 31
+
+# device ramp-replay scan length (native a2rt_record.inc RUN_KCHUNK):
+# a RAMP run spans at most this many fragments
+RUN_KCHUNK = 64
 
 
 def _build_runs(prog, cls_arr, tbase, posoff, ph_hi, ph_lo, dph,
                 modsize, amp0, damp, vol0, dvol, pan0, dpan, slot0,
-                mode, off0, total, lens):
+                mode, off0, total, lens, extra=None):
     """Sorts oscillator runs by (pass class, table base), lays their
     expanded rows out in 128-row kernel blocks (padding within each
     (class, tbase) bucket so a block reads one table), and fills
@@ -184,6 +198,7 @@ def _build_runs(prog, cls_arr, tbase, posoff, ph_hi, ph_lo, dph,
         prog.class_blocks = [(c, 0, np.zeros(0, np.int32))
                              for c in OK.PASS_CLASSES]
         prog.Rtot = 0
+        prog.has_ramp = False
         return
     lens = lens.astype(np.int64)
     order = np.lexsort((tbase, cls_arr))
@@ -241,7 +256,11 @@ def _build_runs(prog, cls_arr, tbase, posoff, ph_hi, ph_lo, dph,
     m[:, RC_TOTAL] = total[order]
     m[:, RC_PHHI] = ph_hi[order]
     m[:, RC_PHLO] = ph_lo[order]
+    if extra is not None:
+        # ramper-replay snapshot columns RC_RAMP..RC_PERIOD
+        m[:, RC_RAMP:RC_N] = extra[order]
     prog.runmat = m
+    prog.has_ramp = bool((m[:, RC_RAMP] != 0).any())
 
 
 def compile_superblock(core, frags, oplists, rowbatch):
@@ -567,7 +586,9 @@ def compile_superblock(core, frags, oplists, rowbatch):
 # native/a2rt_record.inc field indices
 (RF_WAVE, RF_MIP, RF_PH_HI, RF_PH_LO, RF_DPH, RF_AMP0, RF_DAMP,
  RF_VOL0, RF_DVOL, RF_PAN0, RF_DPAN, RF_OWNER, RF_FRAG, RF_OFF,
- RF_TOTAL, RF_MODE, RF_LEN, RF_SIZE) = range(18)
+ RF_TOTAL, RF_MODE, RF_LEN, RF_SIZE,
+ RF_RAMP, RF_AT, RF_ATMR, RF_VT, RF_VTMR, RF_PT, RF_PTMR,
+ RF_PV, RF_PTGT, RF_PTIMER, RF_PRAMP, RF_DPHRAW, RF_PERIOD) = range(31)
 (SF_KIND, SF_NEST, SF_CHAIN, SF_NI, SF_NO, SF_ADD, SF_SCH, SF_DCH,
  SF_SRC0, SF_SRC1, SF_DST0, SF_DST1, SF_FRAG, SF_OFF, SF_FRM,
  SF_P0, SF_P1, SF_P2, SF_P3, SF_P4, SF_P5, SF_P6, SF_SERIAL) = range(23)
@@ -624,6 +645,10 @@ def program_from_native(rows, stages, stash, F, frag_sizes,
         posoff = off_l[wm]
         cls_idx = np.searchsorted(OK.PASS_CLASSES, npass)
         cls_arr = np.asarray(OK.PASS_CLASSES, np.int32)[cls_idx]
+        extra = np.empty((R, RC_N - RC_RAMP), np.int32)
+        extra[:, 0] = rows[:, RF_RAMP]
+        extra[:, 1] = rows[:, RF_MIP]
+        extra[:, 2:] = rows[:, RF_AT:RF_PERIOD + 1]
         _build_runs(
             prog, cls_arr, tbase, posoff,
             rows[:, RF_PH_HI], rows[:, RF_PH_LO], rows[:, RF_DPH],
@@ -633,7 +658,7 @@ def program_from_native(rows, stages, stash, F, frag_sizes,
             slot(rows[:, RF_OWNER], rows[:, RF_FRAG])
             .astype(np.int32),
             rows[:, RF_MODE], rows[:, RF_OFF], rows[:, RF_TOTAL],
-            rows[:, RF_LEN])
+            rows[:, RF_LEN], extra)
 
     # ----- stash -----
     NS = len(stash)
@@ -735,21 +760,147 @@ def program_from_native(rows, stages, stash, F, frag_sizes,
 #   Device execution
 # =================================================================
 
+def _pitch_tables():
+    from ..fixmath import _PITCH_TAB
+    base = np.asarray([b for b, _ in _PITCH_TAB], np.int64)
+    coeff = np.asarray([c for _, c in _PITCH_TAB], np.int64)
+    return base, coeff
+
+
+_PTAB_BASE, _PTAB_COEFF = _pitch_tables()
+_M32 = 0xFFFFFFFF
+
+
+def _w32(x):
+    """int64 -> int32 two's-complement wrap, back to int64."""
+    return x.astype(jnp.int32).astype(jnp.int64)
+
+
+def _tdiv(a, b):
+    """C truncated division, exact for |a| < 2^52 (f64 quotient is
+    correctly rounded and |a/b|*2^-53 < 1/|b|, so the truncation
+    can't cross an integer unless the quotient is exact)."""
+    q = a.astype(jnp.float64) / b.astype(jnp.float64)
+    return jnp.trunc(q).astype(jnp.int64)
+
+
+def _prepare_vec(v, tg, t, fr):
+    """a2_PrepareRamper(fr), vectorized int64-carrying-int32 wrap.
+    Returns (value, delta, timer) after the call."""
+    t0 = t == 0
+    big = (t >> 8) >= fr
+    diff = _w32(tg - v)
+    safe_t = jnp.where(t0 | ~big, 1, t)
+    d_big = _w32(_tdiv(diff << 8, safe_t))
+    d_small = _w32(_tdiv(diff, fr))
+    v2 = jnp.where(t0, tg, v)
+    d = jnp.where(t0, 0, jnp.where(big, d_big, d_small))
+    t2 = jnp.where(t0, t, jnp.where(big, t - (fr << 8), 0))
+    return v2, d, t2
+
+
+def _p2i_vec(p):
+    """a2_P2I (fixmath.p2i), vectorized in int64; input nonnegative
+    (< 2^23: the replayed midpoint sum is a logical >>9)."""
+    n = p & 0xFFFF
+    oct_ = p >> 16
+    idx = n >> 10
+    coeff = jnp.take(jnp.asarray(_PTAB_COEFF), idx)
+    base = jnp.take(jnp.asarray(_PTAB_BASE), idx)
+    dph = (coeff * (n & 1023)) & _M32
+    dph >>= 2
+    dph = (dph + base) & _M32
+    sh = (7 - oct_) & 31
+    return dph >> sh
+
+
+def _ramp_scan(rm):
+    """Replays the reference's per-fragment control recurrences for
+    every run ON THE DEVICE: a2_PrepareRamper's integer-division
+    requantization for amp/vol/pan (reference include/a2_dsp.h:
+    131-148) and wtosc_run_pitch's pitch->dphase conversion
+    (reference src/units/wtosc.c:89-105) with phase accumulation.
+    Input: runmat int64 [Nr, RC_N].  Returns per-fragment trajectories
+    for fragments k=1..RUN_KCHUNK-1 of every run, each
+    [RUN_KCHUNK-1, Nr]: (amp, damp, vol, dvol, pan, dpan, dph, ph).
+    The C++ record pass verifies this exact replay against the live
+    engine at every run extension (a2rt_record.inc
+    sim_predict_match), so a divergence can only ever break a run,
+    never bend audio."""
+    n64 = jnp.int64(FRAG)
+    av = _w32(rm[:, RC_AMP0] + n64 * rm[:, RC_DAMP])
+    at = rm[:, RC_ATMR]
+    atg = rm[:, RC_AT]
+    vv = _w32(rm[:, RC_VOL0] + n64 * rm[:, RC_DVOL])
+    vt = rm[:, RC_VTMR]
+    vtg = rm[:, RC_VT]
+    pv = _w32(rm[:, RC_PAN0] + n64 * rm[:, RC_DPAN])
+    ptm = rm[:, RC_PTMR]
+    ptg = rm[:, RC_PT]
+    pcv = rm[:, RC_PV]
+    pct = rm[:, RC_PTIMER]
+    pctg = rm[:, RC_PTGT]
+    pramp = rm[:, RC_PRAMP]
+    dphraw = rm[:, RC_DPHRAW] & _M32
+    period = rm[:, RC_PERIOD] & _M32
+    mip = rm[:, RC_MIP]
+    msz = rm[:, RC_SIZE] << 24
+    safe_m = jnp.where(msz > 0, msz, 1)
+    ph = ((rm[:, RC_PHHI] << 32) | (rm[:, RC_PHLO] & _M32)) \
+        + n64 * rm[:, RC_DPH]
+
+    # fragment k's frame count: 64 mid-run, the remaining tail for a
+    # terminal (partial-fragment closing) merge.  prepare()'s branch
+    # selection depends on it, so the replay must use the real count.
+    span = rm[:, RC_OFF] + rm[:, RC_TOTAL]
+
+    def step(carry, k):
+        (av, at, vv, vt, pv, ptm, pcv, pct, pramp, dphraw, ph) = carry
+        fr = jnp.clip(span - (k << 6), 1, FRAG)
+        av2, ad, at2 = _prepare_vec(av, atg, at, fr)
+        vv2, vd, vt2 = _prepare_vec(vv, vtg, vt, fr)
+        pv2, pd, ptm2 = _prepare_vec(pv, ptg, ptm, fr)
+        # wtosc_run_pitch
+        pcv2, pcd, pct2 = _prepare_vec(pcv, pctg, pct, fr)
+        skip = (dphraw != 0) & (pct2 == 0) & (pramp == 0)
+        lastv = pcv2 & _M32
+        pcv3 = jnp.where(skip, pcv2, _w32(pcv2 + pcd * fr))
+        pin = ((lastv + (pcv3 & _M32)) & _M32) >> 9
+        dphraw2 = jnp.where(skip, dphraw, _p2i_vec(pin))
+        pramp2 = jnp.where(skip, pramp, pcd)
+        dph = (dphraw2 * period) >> mip
+        phm = jnp.where(msz > 0, ph % safe_m, ph)
+        out = (av2, ad, vv2, vd, pv2, pd, dph, phm)
+        carry = (_w32(av2 + ad * fr), at2,
+                 _w32(vv2 + vd * fr), vt2,
+                 _w32(pv2 + pd * fr), ptm2,
+                 pcv3, pct2, pramp2, dphraw2, phm + fr * dph)
+        return carry, out
+
+    carry0 = (av, at, vv, vt, pv, ptm, pcv, pct, pramp, dphraw, ph)
+    _, outs = jax.lax.scan(step, carry0,
+                           jnp.arange(1, RUN_KCHUNK, dtype=jnp.int64))
+    return outs
+
+
 def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
-                 dead_slot, interpret):
+                 dead_slot, interpret, has_ramp=False):
     """Expands oscillator runs into per-fragment kernel rows ON THE
     DEVICE, evaluates them with the pallas kernel and scatter-adds
     the panmixed audio into the slots.
 
     class_sig: static tuple of (pass_class, NB); tbase_devs: per-class
-    int32[NB] device arrays; runmat: int32[Nr, RC_N].  A run's row k
-    (0 <= k < LEN) is its fragment FRAG0+k with
+    int32[NB] device arrays; runmat: int32[Nr, RC_N].  A LINEAR run's
+    row k (0 <= k < LEN) is its fragment FRAG0+k with
         phase  = wrap(PH0 + k*64*DPH)   [mod SIZE<<24 when looped]
         amp0   = AMP0 + k*64*DAMP       [int32 wrap]
         vol/pan likewise; slot = SLOT + k
     — exactly the values the per-fragment record pass would have
     emitted (native/a2rt_record.inc rec_commit merges only when this
-    linear prediction holds)."""
+    linear prediction holds).  A RAMP run's rows k >= 1 instead come
+    from the _ramp_scan replay of the reference's per-fragment
+    ramper/pitch requantization (verified fragment-by-fragment by the
+    record pass)."""
     Rtot = sum(NB * OK.RPB for _, NB in class_sig)
     rm = runmat
     start = rm[:, RC_START]
@@ -770,15 +921,42 @@ def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
     wrap = (msz > 0) & (k > 0)
     mdiv = jnp.where(wrap, msz, 1)
     ph = jnp.where(wrap, ph % mdiv, ph)
+    n64k = k64 << 6
+    amp = (g[:, RC_AMP0].astype(jnp.int64)
+           + n64k * g[:, RC_DAMP]).astype(jnp.int32)
+    damp = g[:, RC_DAMP]
+    dph64 = dph.astype(jnp.int64)
+    vol0 = (g[:, RC_VOL0].astype(jnp.int64)
+            + n64k * g[:, RC_DVOL]).astype(jnp.int32)
+    pan0 = (g[:, RC_PAN0].astype(jnp.int64)
+            + n64k * g[:, RC_DPAN]).astype(jnp.int32)
+    dvol = g[:, RC_DVOL].astype(jnp.int64)
+    dpan = g[:, RC_DPAN].astype(jnp.int64)
+    if has_ramp:
+        traj = _ramp_scan(rm.astype(jnp.int64))
+        Nr = rm.shape[0]
+        fidx = jnp.clip(k - 1, 0, RUN_KCHUNK - 2).astype(jnp.int64) \
+            * Nr + jnp.clip(rid, 0, None).astype(jnp.int64)
+
+        def pick(i):
+            return jnp.take(traj[i].reshape(-1), fidx)
+        use = (g[:, RC_RAMP] != 0) & (k >= 1) & alive
+        amp = jnp.where(use, pick(0).astype(jnp.int32), amp)
+        damp = jnp.where(use, pick(1).astype(jnp.int32), damp)
+        vol0 = jnp.where(use, pick(2).astype(jnp.int32), vol0)
+        dvol = jnp.where(use, pick(3), dvol)
+        pan0 = jnp.where(use, pick(4).astype(jnp.int32), pan0)
+        dpan = jnp.where(use, pick(5), dpan)
+        dph64 = jnp.where(use, pick(6), dph64)
+        ph = jnp.where(use, pick(7), ph)
     az = alive.astype(jnp.int32)
     pos = ((ph >> 24).astype(jnp.int32) + g[:, RC_POSOFF]) * az
     f = (ph & 0xFFFFFF).astype(jnp.int32) * az
-    n64k = k64 << 6
-    amp = (g[:, RC_AMP0].astype(jnp.int64)
-           + n64k * g[:, RC_DAMP]).astype(jnp.int32) * az
-    damp = g[:, RC_DAMP] * az
+    amp = amp * az
+    damp = damp * az
+    dph32 = dph64.astype(jnp.int32)
     zeros = jnp.zeros_like(pos)
-    fields = [pos, f, (dph >> 24) * az, (dph & 0xFFFFFF) * az,
+    fields = [pos, f, (dph32 >> 24) * az, (dph32 & 0xFFFFFF) * az,
               amp, damp, zeros, zeros]
 
     outs = []
@@ -795,14 +973,9 @@ def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
         b0 += P
     osc = jnp.concatenate(outs, axis=0)         # [Rtot, FRAG]
 
-    # per-row panmix: vol/pan are fragment-frame-0 normalized, so the
-    # row-k ramp base is VOL0 + k*64*DVOL (int32 wrap, matching the
-    # C++ run-continuation prediction) evaluated at absolute
-    # intra-fragment samples
-    vol0 = (g[:, RC_VOL0].astype(jnp.int64)
-            + n64k * g[:, RC_DVOL]).astype(jnp.int32)
-    pan0 = (g[:, RC_PAN0].astype(jnp.int64)
-            + n64k * g[:, RC_DPAN]).astype(jnp.int32)
+    # per-row panmix: vol/pan row-k bases computed above (linear
+    # int32-wrap prediction, or the _ramp_scan replay for RAMP rows),
+    # evaluated at absolute intra-fragment samples
     off = jnp.where(k == 0, g[:, RC_OFF], 0)
     end = jnp.clip(g[:, RC_OFF].astype(jnp.int64)
                    + g[:, RC_TOTAL].astype(jnp.int64)
@@ -820,10 +993,10 @@ def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
     # engine's true (never-overflowing) i32 value is recovered at
     # every valid sample
     vol = (vol0.astype(jnp.int64)[:, None]
-           + n * g[:, RC_DVOL].astype(jnp.int64)[:, None]) \
+           + n * dvol[:, None]) \
         .astype(jnp.int32).astype(jnp.int64)
     pan = (pan0.astype(jnp.int64)[:, None]
-           + n * g[:, RC_DPAN].astype(jnp.int64)[:, None]) \
+           + n * dpan[:, None]) \
         .astype(jnp.int32).astype(jnp.int64)
     vp = (pan * vol) >> 24
     v0 = vol - vp
@@ -1137,6 +1310,11 @@ class DeviceMixer:
         # dead-slot indices inside already-built stage arrays remain
         # harmless writes to unused slots
         prog.ninst = grow("ninst", prog.ninst)
+        # sticky ramp-replay flag: once any superblock of the song
+        # carries RAMP runs, every signature includes the scan
+        prog.has_ramp = bool(grow("has_ramp",
+                                  int(getattr(prog, "has_ramp",
+                                              False))))
         dead = prog.ninst * prog.F
 
         # oscillator runs: pow2-quantized monotone class-block growth;
@@ -1249,10 +1427,11 @@ class DeviceMixer:
                            fd["stereoout"], fd["add"], fd["chunk"])))
         items.sort(key=lambda t: t[1])
         return (prog.F, prog.ninst, prog.master_inst,
-                prog.master_channels, rows, rpad, ns, tuple(items))
+                prog.master_channels, rows, rpad, ns,
+                bool(prog.has_ramp), tuple(items))
 
     def _build_fn(self, prog, sig):
-        F, ninst, minst, mch, rows_sig, rpad, ns, items = sig
+        F, ninst, minst, mch, rows_sig, rpad, ns, has_ramp, items = sig
         interpret = self.interpret
         exec_items = list(items)
         Rtot = sum(NB * OK.RPB for _, NB in rows_sig)
@@ -1264,7 +1443,7 @@ class DeviceMixer:
             if rpad and Rtot:
                 slots = _expand_rows(slots, atlas, rows_sig,
                                      tbase_devs, runmat,
-                                     ninst * F, interpret)
+                                     ninst * F, interpret, has_ramp)
             if ns:
                 slots = slots.at[stash_slot].add(stash_audio)
             new_rings = []
