@@ -139,9 +139,10 @@ class SuperblockProgram:
         # the device expands runs into per-fragment kernel rows
         # (_expand_rows), so upload and host build cost scale with
         # the run count, not the row count
-        self.runmat = None       # int32 [Nr, RC_N]
+        self.runmat = None       # int32 [Nr, BASE_N]
+        self.rampmat = None      # int32 [NrR, RC_N] (RAMP runs only)
         self.nruns = 0
-        self.has_ramp = False    # any RC_RAMP run (part of the sig)
+        self.has_ramp = False    # any RAMP run (part of the sig)
         self.class_blocks = []   # (pass_class, NB, tbase np[NB])
         self.Rtot = 0            # total expanded row capacity
         # stash
@@ -177,6 +178,20 @@ _ROW_CLAMP = 4
  RC_PV, RC_PTGT, RC_PTIMER, RC_PRAMP, RC_DPHRAW, RC_PERIOD) = range(31)
 RC_N = 31
 
+# the uploaded runmat carries only the base columns plus RC_RIDX (an
+# index into the separate rampmat, -1 for LINEAR runs) — the 13
+# ramper-snapshot columns ship only for the RAMP runs that need them,
+# keeping the per-run upload at 72 B + 56 B for ramp runs
+RC_RIDX = RC_RAMP
+BASE_N = RC_RIDX + 1
+
+# rampmat layout: the 13 snapshot columns plus a back-pointer to the
+# run's base row (for the scan's shared base fields)
+(RR_MIP, RR_AT, RR_ATMR, RR_VT, RR_VTMR, RR_PT, RR_PTMR,
+ RR_PV, RR_PTGT, RR_PTIMER, RR_PRAMP, RR_DPHRAW, RR_PERIOD,
+ RR_BASE) = range(14)
+RR_N = 14
+
 # device ramp-replay scan length (native a2rt_record.inc RUN_KCHUNK):
 # a RAMP run spans at most this many fragments
 RUN_KCHUNK = 64
@@ -194,7 +209,8 @@ def _build_runs(prog, cls_arr, tbase, posoff, ph_hi, ph_lo, dph,
     Nr = len(cls_arr)
     prog.nruns = Nr
     if Nr == 0:
-        prog.runmat = np.zeros((0, RC_N), np.int32)
+        prog.runmat = np.zeros((0, BASE_N), np.int32)
+        prog.rampmat = np.zeros((0, RC_N), np.int32)
         prog.class_blocks = [(c, 0, np.zeros(0, np.int32))
                              for c in OK.PASS_CLASSES]
         prog.Rtot = 0
@@ -259,8 +275,19 @@ def _build_runs(prog, cls_arr, tbase, posoff, ph_hi, ph_lo, dph,
     if extra is not None:
         # ramper-replay snapshot columns RC_RAMP..RC_PERIOD
         m[:, RC_RAMP:RC_N] = extra[order]
-    prog.runmat = m
-    prog.has_ramp = bool((m[:, RC_RAMP] != 0).any())
+    ramp_sel = m[:, RC_RAMP] != 0
+    nramp = int(ramp_sel.sum())
+    ridx = np.full(Nr, -1, np.int32)
+    ridx[ramp_sel] = np.arange(nramp, dtype=np.int32)
+    base = np.empty((Nr, BASE_N), np.int32)
+    base[:, :RC_RIDX] = m[:, :RC_RIDX]
+    base[:, RC_RIDX] = ridx
+    prog.runmat = base
+    rmp = np.empty((nramp, RR_N), np.int32)
+    rmp[:, RR_MIP:RR_BASE] = m[ramp_sel][:, RC_MIP:RC_PERIOD + 1]
+    rmp[:, RR_BASE] = np.nonzero(ramp_sel)[0].astype(np.int32)
+    prog.rampmat = rmp
+    prog.has_ramp = nramp > 0
 
 
 def compile_superblock(core, frags, oplists, rowbatch):
@@ -814,45 +841,48 @@ def _p2i_vec(p):
     return dph >> sh
 
 
-def _ramp_scan(rm):
+def _ramp_scan(rmp, base):
     """Replays the reference's per-fragment control recurrences for
     every run ON THE DEVICE: a2_PrepareRamper's integer-division
     requantization for amp/vol/pan (reference include/a2_dsp.h:
     131-148) and wtosc_run_pitch's pitch->dphase conversion
     (reference src/units/wtosc.c:89-105) with phase accumulation.
-    Input: runmat int64 [Nr, RC_N].  Returns per-fragment trajectories
-    for fragments k=1..RUN_KCHUNK-1 of every run, each
-    [RUN_KCHUNK-1, Nr]: (amp, damp, vol, dvol, pan, dpan, dph, ph).
+    Inputs: rampmat int64 [NrR, RR_N] and the base runmat int64
+    [Nr, BASE_N] (RR_BASE back-pointers resolve the shared fields).
+    Returns per-fragment trajectories for fragments
+    k=1..RUN_KCHUNK-1 of every RAMP run, each [RUN_KCHUNK-1, NrR]:
+    (amp, damp, vol, dvol, pan, dpan, dph, ph).
     The C++ record pass verifies this exact replay against the live
     engine at every run extension (a2rt_record.inc
     sim_predict_match), so a divergence can only ever break a run,
     never bend audio."""
     n64 = jnp.int64(FRAG)
-    av = _w32(rm[:, RC_AMP0] + n64 * rm[:, RC_DAMP])
-    at = rm[:, RC_ATMR]
-    atg = rm[:, RC_AT]
-    vv = _w32(rm[:, RC_VOL0] + n64 * rm[:, RC_DVOL])
-    vt = rm[:, RC_VTMR]
-    vtg = rm[:, RC_VT]
-    pv = _w32(rm[:, RC_PAN0] + n64 * rm[:, RC_DPAN])
-    ptm = rm[:, RC_PTMR]
-    ptg = rm[:, RC_PT]
-    pcv = rm[:, RC_PV]
-    pct = rm[:, RC_PTIMER]
-    pctg = rm[:, RC_PTGT]
-    pramp = rm[:, RC_PRAMP]
-    dphraw = rm[:, RC_DPHRAW] & _M32
-    period = rm[:, RC_PERIOD] & _M32
-    mip = rm[:, RC_MIP]
-    msz = rm[:, RC_SIZE] << 24
+    g = jnp.take(base, jnp.clip(rmp[:, RR_BASE], 0, None), axis=0)
+    av = _w32(g[:, RC_AMP0] + n64 * g[:, RC_DAMP])
+    at = rmp[:, RR_ATMR]
+    atg = rmp[:, RR_AT]
+    vv = _w32(g[:, RC_VOL0] + n64 * g[:, RC_DVOL])
+    vt = rmp[:, RR_VTMR]
+    vtg = rmp[:, RR_VT]
+    pv = _w32(g[:, RC_PAN0] + n64 * g[:, RC_DPAN])
+    ptm = rmp[:, RR_PTMR]
+    ptg = rmp[:, RR_PT]
+    pcv = rmp[:, RR_PV]
+    pct = rmp[:, RR_PTIMER]
+    pctg = rmp[:, RR_PTGT]
+    pramp = rmp[:, RR_PRAMP]
+    dphraw = rmp[:, RR_DPHRAW] & _M32
+    period = rmp[:, RR_PERIOD] & _M32
+    mip = rmp[:, RR_MIP]
+    msz = g[:, RC_SIZE] << 24
     safe_m = jnp.where(msz > 0, msz, 1)
-    ph = ((rm[:, RC_PHHI] << 32) | (rm[:, RC_PHLO] & _M32)) \
-        + n64 * rm[:, RC_DPH]
+    ph = ((g[:, RC_PHHI] << 32) | (g[:, RC_PHLO] & _M32)) \
+        + n64 * g[:, RC_DPH]
 
     # fragment k's frame count: 64 mid-run, the remaining tail for a
     # terminal (partial-fragment closing) merge.  prepare()'s branch
     # selection depends on it, so the replay must use the real count.
-    span = rm[:, RC_OFF] + rm[:, RC_TOTAL]
+    span = g[:, RC_OFF] + g[:, RC_TOTAL]
 
     def step(carry, k):
         (av, at, vv, vt, pv, ptm, pcv, pct, pramp, dphraw, ph) = carry
@@ -884,7 +914,7 @@ def _ramp_scan(rm):
 
 
 def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
-                 dead_slot, interpret, has_ramp=False):
+                 rampmat, dead_slot, interpret, has_ramp=False):
     """Expands oscillator runs into per-fragment kernel rows ON THE
     DEVICE, evaluates them with the pallas kernel and scatter-adds
     the panmixed audio into the slots.
@@ -933,14 +963,16 @@ def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
     dvol = g[:, RC_DVOL].astype(jnp.int64)
     dpan = g[:, RC_DPAN].astype(jnp.int64)
     if has_ramp:
-        traj = _ramp_scan(rm.astype(jnp.int64))
-        Nr = rm.shape[0]
+        traj = _ramp_scan(rampmat.astype(jnp.int64),
+                          rm.astype(jnp.int64))
+        NrR = rampmat.shape[0]
+        ridx = g[:, RC_RIDX]
         fidx = jnp.clip(k - 1, 0, RUN_KCHUNK - 2).astype(jnp.int64) \
-            * Nr + jnp.clip(rid, 0, None).astype(jnp.int64)
+            * NrR + jnp.clip(ridx, 0, None).astype(jnp.int64)
 
         def pick(i):
             return jnp.take(traj[i].reshape(-1), fidx)
-        use = (g[:, RC_RAMP] != 0) & (k >= 1) & alive
+        use = (ridx >= 0) & (k >= 1) & alive
         amp = jnp.where(use, pick(0).astype(jnp.int32), amp)
         damp = jnp.where(use, pick(1).astype(jnp.int32), damp)
         vol0 = jnp.where(use, pick(2).astype(jnp.int32), vol0)
@@ -1350,10 +1382,21 @@ class DeviceMixer:
             Nrp = grow("runs", _quant(Nr, 2048)
                        if self._fine else _pow2(max(Nr, 1), 1024))
             if Nrp > Nr:
-                m = np.zeros((Nrp, RC_N), np.int32)
+                m = np.zeros((Nrp, BASE_N), np.int32)
                 m[:, RC_START] = prog.Rtot
+                m[:, RC_RIDX] = -1
                 m[:Nr] = prog.runmat
                 prog.runmat = m
+            if prog.has_ramp or hw.get("rampruns", 0):
+                NrR = prog.rampmat.shape[0]
+                NrRp = grow("rampruns", _quant(NrR, 512)
+                            if self._fine
+                            else _pow2(max(NrR, 1), 512))
+                if NrRp > NrR:
+                    rm = np.zeros((NrRp, RR_N), np.int32)
+                    rm[:NrR] = prog.rampmat
+                    prog.rampmat = rm
+                prog.has_ramp = True
         if prog.stash_audio is not None or hw.get("stash", 0):
             NS = prog.stash_audio.shape[0] \
                 if prog.stash_audio is not None else 0
@@ -1417,6 +1460,8 @@ class DeviceMixer:
     def _signature(self, prog):
         rows = tuple((cls, NB) for cls, NB, _ in prog.class_blocks)
         rpad = prog.runmat.shape[0] if prog.runmat is not None             else 0
+        ramppad = prog.rampmat.shape[0] \
+            if getattr(prog, "rampmat", None) is not None else 0
         ns = prog.stash_audio.shape[0] if prog.stash_audio is not None             else 0
         items = []
         for st in prog.stages:
@@ -1428,22 +1473,23 @@ class DeviceMixer:
         items.sort(key=lambda t: t[1])
         return (prog.F, prog.ninst, prog.master_inst,
                 prog.master_channels, rows, rpad, ns,
-                bool(prog.has_ramp), tuple(items))
+                ramppad if prog.has_ramp else 0, tuple(items))
 
     def _build_fn(self, prog, sig):
-        F, ninst, minst, mch, rows_sig, rpad, ns, has_ramp, items = sig
+        F, ninst, minst, mch, rows_sig, rpad, ns, ramppad, items = sig
         interpret = self.interpret
         exec_items = list(items)
         Rtot = sum(NB * OK.RPB for _, NB in rows_sig)
 
-        def fn(atlas, tbase_devs, runmat, stash_audio, stash_slot,
-               stage_arrs, fbd_arrs, fbd_rings, fbd_pos):
+        def fn(atlas, tbase_devs, runmat, rampmat, stash_audio,
+               stash_slot, stage_arrs, fbd_arrs, fbd_rings, fbd_pos):
             nslot = ninst * F + 1
             slots = jnp.zeros((nslot, 2, FRAG), jnp.int32)
             if rpad and Rtot:
                 slots = _expand_rows(slots, atlas, rows_sig,
-                                     tbase_devs, runmat,
-                                     ninst * F, interpret, has_ramp)
+                                     tbase_devs, runmat, rampmat,
+                                     ninst * F, interpret,
+                                     ramppad > 0)
             if ns:
                 slots = slots.at[stash_slot].add(stash_audio)
             new_rings = []
@@ -1491,7 +1537,12 @@ class DeviceMixer:
         if prog.runmat is not None and prog.runmat.size:
             runmat = _threaded_put(prog.runmat)
         else:
-            runmat = jnp.zeros((0, RC_N), jnp.int32)
+            runmat = jnp.zeros((0, BASE_N), jnp.int32)
+        rmp = getattr(prog, "rampmat", None)
+        if rmp is not None and rmp.size:
+            rampmat = _threaded_put(rmp)
+        else:
+            rampmat = jnp.zeros((0, RR_N), jnp.int32)
         if prog.stash_audio is not None:
             stash_audio = jnp.asarray(prog.stash_audio)
             stash_slot = jnp.asarray(prog.stash_slot)
@@ -1526,7 +1577,7 @@ class DeviceMixer:
                 fbd_ids.append(uid)
                 fbd_nframes.append(int(ob["arr"][:, 5].sum()))
 
-        master, new_rings = fn(atlas, tbase_devs, runmat,
+        master, new_rings = fn(atlas, tbase_devs, runmat, rampmat,
                                stash_audio, stash_slot,
                                stage_arrs, fbd_arrs, fbd_rings,
                                jnp.asarray(fbd_pos, jnp.int32)
