@@ -129,7 +129,12 @@ def main(argv=None):
         use_native = False        # MIDI driver runs on the host engine
     if args.tpu and not args.midi:
         from .engine.device_render import DeviceRenderer
-        renderer = DeviceRenderer(i, channels=args.channels)
+        # a 16-bit PCM sink makes the on-device int16 readback
+        # lossless for the product (the WAV writer's clip(x>>8) runs
+        # on the chip); raw/stdout sinks keep the exact int32 master
+        readback = "i16" if args.output else "exact"
+        renderer = DeviceRenderer(i, channels=args.channels,
+                                  readback=readback)
         renderer.timestamp_reset()
         renderer.start(0, prog, *[float(a) for a in pargs])
     elif use_native:

@@ -88,7 +88,7 @@ class DeviceRenderer:
         return DeviceRenderer._warm_done.wait(timeout)
 
     def __init__(self, interface, channels=None, interpret=None,
-                 transfer_lock=None):
+                 transfer_lock=None, readback="exact"):
         from ..tpu.superblock import DeviceMixer
         self.i = interface
         self.nr = NativeRenderer(interface, channels=channels)
@@ -97,7 +97,8 @@ class DeviceRenderer:
         self._pair_atlas = PairAtlas()
         self._atlas_handles = set()
         self.mixer = DeviceMixer(self, interpret=interpret,
-                                 transfer_lock=transfer_lock)
+                                 transfer_lock=transfer_lock,
+                                 readback=readback)
         self.fell_back = False
         self.bridged_frames = 0  # rendered natively during warmup
         self._calls = []         # replayed on native fallback

@@ -48,15 +48,18 @@ class StreamJob:
 
 
 def render_many(jobs, bufsize=None, serialize_transfers=True,
-                interpret=None, profile=True):
+                interpret=None, profile=True, readback="exact"):
     """Renders all jobs concurrently on the device path.  Each job's
     output is bit-exact with a solo render (streams share no mutable
     state beyond the device itself).  Returns the job list with
-    .output filled (or .error set; the first error is re-raised)."""
+    .output filled (or .error set; the first error is re-raised).
+    readback="i16" halves each stream's d2h bytes (see
+    DeviceMixer.readback) — lossless for 16-bit PCM sinks."""
     lock = threading.Lock() if serialize_transfers else None
     for j in jobs:
         r = DeviceRenderer(j.interface, channels=j.channels,
-                           interpret=interpret, transfer_lock=lock)
+                           interpret=interpret, transfer_lock=lock,
+                           readback=readback)
         r.timestamp_reset()
         r.start(0, j.program, *j.args)
         j.renderer = r

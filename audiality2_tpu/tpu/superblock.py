@@ -1269,11 +1269,20 @@ class DeviceMixer:
     device pair-atlas copy and the fbdelay ring state (persist across
     superblocks)."""
 
-    def __init__(self, core, interpret=None, transfer_lock=None):
+    def __init__(self, core, interpret=None, transfer_lock=None,
+                 readback="exact"):
         self.core = core
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         self.interpret = interpret
+        # "exact": int32 8:24 master (bit-exact goldens).  "i16": the
+        # 16-bit PCM conversion (clip(x>>8), cli.py write_wav) runs
+        # ON-DEVICE and only int16 returns — half the d2h bytes, and
+        # still bit-exact for any 16-bit product (the conversion is
+        # the same one the WAV writer would apply); the int32
+        # reconstruction returned to callers is quantized at
+        # -101 dBFS.
+        self.readback = readback
         # optional lock serializing relay-facing work across mixers:
         # multi-stream serving through the deployment relay fails
         # under concurrent transfers (see DESIGN.md fleet findings);
@@ -1473,10 +1482,12 @@ class DeviceMixer:
         items.sort(key=lambda t: t[1])
         return (prog.F, prog.ninst, prog.master_inst,
                 prog.master_channels, rows, rpad, ns,
-                ramppad if prog.has_ramp else 0, tuple(items))
+                ramppad if prog.has_ramp else 0, self.readback,
+                tuple(items))
 
     def _build_fn(self, prog, sig):
-        F, ninst, minst, mch, rows_sig, rpad, ns, ramppad, items = sig
+        (F, ninst, minst, mch, rows_sig, rpad, ns, ramppad,
+         readback, items) = sig
         interpret = self.interpret
         exec_items = list(items)
         Rtot = sum(NB * OK.RPB for _, NB in rows_sig)
@@ -1506,6 +1517,9 @@ class DeviceMixer:
                     new_rings.append(ring)
                     fi += 1
             master = slots[minst * F:(minst + 1) * F, :mch]
+            if readback == "i16":
+                master = jnp.clip(master >> 8, -32768, 32767) \
+                    .astype(jnp.int16)
             return master, new_rings
 
         return jax.jit(fn)
@@ -1600,6 +1614,10 @@ class DeviceMixer:
                 out = _threaded_get(master)      # [F, mch, 64]
         else:
             out = _threaded_get(master)          # [F, mch, 64]
+        if out.dtype == np.int16:
+            # reconstruct the int32 8:24 contract from the on-device
+            # 16-bit conversion (lossless for 16-bit PCM sinks)
+            out = out.astype(np.int32) << 8
         total = sum(frag_sizes)
         if total == len(frag_sizes) * FRAG:
             flat = out.transpose(1, 0, 2).reshape(mch, total)
