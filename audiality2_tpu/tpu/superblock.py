@@ -152,6 +152,8 @@ class SuperblockProgram:
         self.stages = []
         # fbdelay instances: list of dicts
         self.fbdelays = []
+        # filter12/dcblock/limiter classes: instance-batched scans
+        self.filters = []
 
 
 # mode bits for rows
@@ -620,6 +622,10 @@ def compile_superblock(core, frags, oplists, rowbatch):
  SF_SRC0, SF_SRC1, SF_DST0, SF_DST1, SF_FRAG, SF_OFF, SF_FRM,
  SF_P0, SF_P1, SF_P2, SF_P3, SF_P4, SF_P5, SF_P6, SF_SERIAL) = range(23)
 SK_PANMIX, SK_COPY, SK_FBDELAY = 0, 1, 2
+SK_WS, SK_F12, SK_DCB, SK_LIM = 3, 4, 5, 6
+_FILT_TAG = {SK_F12: "f12", SK_DCB: "dcb", SK_LIM: "lim"}
+# limiter peak state starts at 32768<<8 (reference limiter.c lim_init)
+_LIM_PEAK0 = 32768 << 8
 
 
 def program_from_native(rows, stages, stash, F, frag_sizes,
@@ -702,7 +708,33 @@ def program_from_native(rows, stages, stash, F, frag_sizes,
     if len(stages):
         S = stages
         skind = S[:, SF_KIND]
-        reg = S[skind != SK_FBDELAY]
+        reg = S[(skind == SK_PANMIX) | (skind == SK_COPY)
+                | (skind == SK_WS)]
+        # waveshaper rows apply identical per-sample math to each
+        # channel: expand a stereo entry into two per-channel rows
+        # (channel tag in SF_NI, like xinsert copies)
+        ws2 = reg[(reg[:, SF_KIND] == SK_WS) & (reg[:, SF_NI] == 2)]
+        if len(ws2):
+            hi = ws2.copy()
+            hi[:, SF_SRC0] = ws2[:, SF_SRC1]
+            hi[:, SF_DST0] = ws2[:, SF_DST1]
+            hi[:, SF_SCH] = ws2[:, SF_SCH] >> 8
+            hi[:, SF_DCH] = ws2[:, SF_DCH] >> 8
+            hi[:, SF_NI] = 1
+            hi[:, SF_NO] = 0
+            lo = reg.copy()
+            sel = (lo[:, SF_KIND] == SK_WS) & (lo[:, SF_NI] == 2)
+            lo[sel, SF_SCH] &= 0xFF
+            lo[sel, SF_DCH] &= 0xFF
+            lo[sel, SF_NI] = 0
+            lo[sel, SF_NO] = 0
+            reg = np.concatenate([lo, hi])
+        else:
+            sel = reg[:, SF_KIND] == SK_WS
+            if sel.any():
+                reg = reg.copy()
+                reg[sel, SF_NI] = 0
+                reg[sel, SF_NO] = 0
         # group key as one int64: nest/chain/kind/ni/no/add/sch/dch
         gk = (reg[:, SF_NEST].astype(np.int64) << 48) \
             | (reg[:, SF_CHAIN].astype(np.int64) << 40) \
@@ -734,6 +766,9 @@ def program_from_native(rows, stages, stash, F, frag_sizes,
             if int(r0[SF_KIND]) == SK_PANMIX:
                 key = (-nest, chain, "panmix", ni, no, add,
                        sch[:max(ni, 1)], dch[:max(no, 1)])
+            elif int(r0[SF_KIND]) == SK_WS:
+                key = (-nest, chain, "ws", ni, add,
+                       (sch[0],), (dch[0],))
             else:
                 key = (-nest, chain, "copy", ni, add,
                        (sch[0],), (dch[0],))
@@ -751,8 +786,11 @@ def program_from_native(rows, stages, stash, F, frag_sizes,
         for serial in np.unique(fbd[:, SF_SERIAL]):
             fbd_groups[int(serial)] = list(
                 fbd[fbd[:, SF_SERIAL] == serial])
+        filt = S[(skind == SK_F12) | (skind == SK_DCB)
+                 | (skind == SK_LIM)]
     else:
         fbd_groups = {}
+        filt = np.zeros((0, SF_N), np.int32)
     for serial, srows in fbd_groups.items():
         s0 = srows[0]
         mind = min(min(int(x[SF_P0]), int(x[SF_P1]), int(x[SF_P2]))
@@ -779,6 +817,49 @@ def program_from_native(rows, stages, stash, F, frag_sizes,
             "stereoout": int(s0[SF_NO]) == 2,
             "add": bool(s0[SF_ADD]), "arr": arr, "n": len(srows),
             "chunk": C})
+
+    # ----- filter12 / dcblock / limiter: instance-batched per-sample
+    # scans (serial state per instance persists on the device between
+    # superblocks like the fbdelay rings) -----
+    if len(filt):
+        fk = (filt[:, SF_NEST].astype(np.int64) << 48) \
+            | (filt[:, SF_CHAIN].astype(np.int64) << 40) \
+            | (filt[:, SF_KIND].astype(np.int64) << 36) \
+            | (filt[:, SF_NI].astype(np.int64) << 32) \
+            | (filt[:, SF_NO].astype(np.int64) << 28) \
+            | (filt[:, SF_ADD].astype(np.int64) << 24) \
+            | (filt[:, SF_SCH].astype(np.int64) << 12) \
+            | filt[:, SF_DCH].astype(np.int64)
+        for key64 in np.unique(fk):
+            rows_k = filt[fk == key64]
+            serials = [int(s) for s in np.unique(rows_k[:, SF_SERIAL])]
+            K = len(serials)
+            Smax = max(int((rows_k[:, SF_SERIAL] == s).sum())
+                       for s in serials)
+            arr = np.zeros((Smax, K, 13), np.int32)
+            arr[:, :, 2] = ninst * F
+            arr[:, :, 3] = ninst * F
+            for j, ser in enumerate(serials):
+                sr = rows_k[rows_k[:, SF_SERIAL] == ser]
+                n = len(sr)
+                arr[:n, j, 0] = slot(sr[:, SF_SRC0], sr[:, SF_FRAG])
+                arr[:n, j, 1] = slot(sr[:, SF_SRC1], sr[:, SF_FRAG])
+                arr[:n, j, 2] = slot(sr[:, SF_DST0], sr[:, SF_FRAG])
+                arr[:n, j, 3] = slot(sr[:, SF_DST1], sr[:, SF_FRAG])
+                arr[:n, j, 4] = sr[:, SF_OFF]
+                arr[:n, j, 5] = sr[:, SF_FRM]
+                arr[:n, j, 6:13] = sr[:, SF_P0:SF_P6 + 1]
+            r0 = rows_k[0]
+            nest, chain = int(r0[SF_NEST]), int(r0[SF_CHAIN])
+            ni, no = int(r0[SF_NI]), int(r0[SF_NO])
+            sch = (int(r0[SF_SCH]) & 0xFF, int(r0[SF_SCH]) >> 8)
+            dch = (int(r0[SF_DCH]) & 0xFF, int(r0[SF_DCH]) >> 8)
+            prog.filters.append({
+                "kind": _FILT_TAG[int(r0[SF_KIND])],
+                "key": (-nest, chain, _FILT_TAG[int(r0[SF_KIND])],
+                        ni, no, bool(r0[SF_ADD]), sch[:max(ni, 1)],
+                        dch[:max(no, 1)]),
+                "serials": serials, "arr": arr, "n": K})
 
     return prog
 
@@ -1067,6 +1148,22 @@ def _emit(slots, dst, ch_out, mask, add):
     return slots.at[dst].add(delta)
 
 
+def _div64(num, den):
+    """C truncating i64 division, den > 0: f64 estimate + two exact
+    integer corrections (same domain as the native AVX-512
+    div64_trunc — exact for |num| < 2^53, i.e. in-range audio)."""
+    den = jnp.where(den <= 0, 1, den)
+    q = jnp.trunc(num.astype(jnp.float64)
+                  / den.astype(jnp.float64)).astype(jnp.int64)
+    for _ in range(2):
+        r = num - q * den
+        pos = num >= 0
+        dec = (pos & (r < 0)) | (~pos & (r <= -den))
+        inc = (pos & (r >= den)) | (~pos & (r > 0))
+        q = q - dec.astype(jnp.int64) + inc.astype(jnp.int64)
+    return q
+
+
 def _apply_stage(slots, key, arr):
     kind = key[2]
     a = arr.astype(jnp.int64)
@@ -1084,6 +1181,24 @@ def _apply_stage(slots, key, arr):
         add = key[4]
         out = src[:, ch_s].astype(jnp.int64)
         return _emit(slots, a[:, 1], {ch_d: out}, mask, add)
+    if kind == "ws":
+        # waveshaper.c:67-105 fixed-point path, exact int64 incl. the
+        # truncating division (cf. native a2rt_units.inc ws_process)
+        ch_s = key[5][0]
+        ch_d = key[6][0]
+        add = key[4]
+        x = src[:, ch_s].astype(jnp.int64)
+        av = _w32(a[:, 4:5] + ns * a[:, 5:6])
+        a3p1 = _w32(_w32(_w32(av << 1) + av) + (1 << 24))
+        a4 = av >> 4
+        asqr = _w32((a4 * a4) >> 24)
+        vsqr = _w32((x * x) >> 22)
+        vout = x * a3p1
+        sq = av * vsqr
+        vout = jnp.where(x >= 0, vout - sq, vout + sq)
+        den = ((asqr * vsqr) >> 16) + (1 << 24)
+        return _emit(slots, a[:, 1], {ch_d: _div64(vout, den)},
+                     mask, add)
     ni, no, add, sch, dch = key[3], key[4], key[5], key[6], key[7]
     vol = a[:, 4:5] + ns * a[:, 5:6]
     if ni == 1 and no == 1:
@@ -1211,6 +1326,143 @@ def _apply_fbdelay(slots, sig, arr, ring, bufpos):
     return slots, jnp.stack([L, R])
 
 
+def _apply_filter(slots, kind, sig, arr, state):
+    """filter12 / dcblock / limiter as an instance-batched scan over
+    each instance's slice sequence (reference src/units/filter12.c
+    f12_process, dcblock.c, limiter.c:84-131 — per-sample serial
+    recurrences, so the 64 intra-fragment samples run unrolled inside
+    each scan step while instances batch on the lane axis).  State
+    (filter d1/d2 per channel; limiter peak) is carried per instance
+    and persists across superblocks via DeviceMixer._rings.
+
+    sig: (ni, no, add, sch, dch).  arr int32 [S, K, 13]; state
+    [K, 2, 2] int32 for f12/dcb, [K] int64 (u32 peak) for lim."""
+    ni, no, add, sch, dch = sig
+    a = arr.astype(jnp.int64)
+    nvec = jnp.arange(FRAG, dtype=jnp.int64)[None, :]
+    stereo = ni == 2
+
+    def gather(slots, ax, col, ch):
+        return slots[ax[:, col]][:, ch].astype(jnp.int64)   # [K, 64]
+
+    def step(carry, ax):
+        slots, st = carry
+        x0 = gather(slots, ax, 0, sch[0])
+        x1 = gather(slots, ax, 1, sch[-1]) if stereo else x0
+        off = ax[:, 4]
+        frm = ax[:, 5]
+        msk = (nvec >= off[:, None]) & (nvec < (off + frm)[:, None])
+        outs = [jnp.zeros_like(x0) for _ in range(no)]
+        if kind == "lim":
+            rel = ax[:, 6]
+            thr = ax[:, 7] & _M32
+            pk = st
+            o0 = outs[0]
+            o1 = outs[-1]
+            for nn in range(FRAG):
+                act = msk[:, nn]
+                if stereo:
+                    lp_ = jnp.abs(x0[:, nn])
+                    rp_ = jnp.abs(x1[:, nn])
+                    pka = jnp.maximum(lp_, rp_)
+                    pka = (pka + ((pka - jnp.abs(lp_ - rp_)) >> 1)) \
+                        & _M32
+                else:
+                    pka = jnp.abs(x0[:, nn]) & _M32
+                gt = pka > pk
+                dec = (pk - rel) & _M32
+                dec = jnp.where(dec < thr, thr, dec)
+                pk2 = jnp.where(gt, pka, dec)
+                gain = _tdiv(jnp.int64(32767 << 16),
+                             jnp.maximum(((pk2 + 511) & _M32) >> 9,
+                                         1))
+                v0 = _w32((x0[:, nn] * gain) >> 16)
+                o0 = o0.at[:, nn].set(v0)
+                if stereo:
+                    o1 = o1.at[:, nn].set(
+                        _w32((x1[:, nn] * gain) >> 16))
+                pk = jnp.where(act, pk2, pk)
+            outs[0] = o0
+            if stereo:
+                outs[-1] = o1
+            st2 = pk
+        else:
+            # filter12.c:94-118 / dcblock.c state-variable cores
+            d1 = st[:, 0]          # [K, 2]
+            d2 = st[:, 1]
+            if kind == "f12":
+                f0 = ax[:, 6]
+                df = ax[:, 7]
+                qv = ax[:, 8]
+                qd = ax[:, 9]
+                lp = ax[:, 10:11]
+                bp = ax[:, 11:12]
+                hp = ax[:, 12:13]
+            else:
+                fc = (ax[:, 6] >> 12)[:, None]
+            xs = [x0, x1] if stereo else [x0]
+            o_acc = [outs[0], outs[-1]] if no == 2 else [outs[0]]
+            for nn in range(FRAG):
+                act = msk[:, nn]
+                ns_ = nn - off
+                if kind == "f12":
+                    fl = (_w32(f0 + ns_ * df) >> 12)[:, None]
+                    qq = (_w32(qv + ns_ * qd) >> 12)[:, None]
+                new_d1 = d1
+                new_d2 = d2
+                for c in range(len(xs)):
+                    x = xs[c][:, nn]
+                    if kind == "f12":
+                        d1c = d1[:, c] >> 4
+                        l = _w32(d2[:, c]
+                                 + (_w32(fl[:, 0] * d1c) >> 8))
+                        h = _w32(_w32((x >> 5) - l)
+                                 - (_w32(qq[:, 0] * d1c) >> 8))
+                        b = _w32((_w32(fl[:, 0] * (h >> 4)) >> 8)
+                                 + d1[:, c])
+                        fo = _w32(_w32(_w32(_w32(l * lp[:, 0])
+                                            + _w32(b * bp[:, 0]))
+                                       + _w32(h * hp[:, 0])) >> 3)
+                    else:
+                        t1 = d1[:, c] >> 4
+                        l = _w32(d2[:, c]
+                                 + (_w32(fc[:, 0] * t1) >> 8))
+                        h = _w32(_w32((x >> 5) - l)
+                                 - _w32(t1 << 4))
+                        b = _w32((_w32(fc[:, 0] * (h >> 4)) >> 8)
+                                 + d1[:, c])
+                        fo = _w32(h << 5)
+                    oc = min(c, no - 1)
+                    o_acc[oc] = o_acc[oc].at[:, nn].set(fo)
+                    new_d1 = new_d1.at[:, c].set(
+                        jnp.where(act, b, d1[:, c])
+                        .astype(jnp.int32))
+                    new_d2 = new_d2.at[:, c].set(
+                        jnp.where(act, l, d2[:, c])
+                        .astype(jnp.int32))
+                d1 = new_d1
+                d2 = new_d2
+            outs[0] = o_acc[0]
+            if no == 2:
+                outs[-1] = o_acc[-1]
+            st2 = jnp.stack([d1, d2], axis=1)
+        # emit (REPLACE as add-of-difference, like _emit)
+        for c, dst_col, ch_d in (((0, 2, dch[0]),)
+                                 + (((1, 3, dch[-1]),)
+                                    if no == 2 else ())):
+            out32 = outs[c].astype(jnp.int32)
+            old = slots[ax[:, dst_col]][:, ch_d]
+            if add:
+                d = jnp.where(msk, out32, 0)
+            else:
+                d = jnp.where(msk, out32 - old, 0)
+            slots = slots.at[ax[:, dst_col], ch_d].add(d)
+        return (slots, st2), None
+
+    (slots, state), _ = jax.lax.scan(step, (slots, state), a)
+    return slots, state
+
+
 def _threaded_put(arr, nchunks=8, min_bytes=1 << 19):
     """Chunked threaded h2d upload (the relay parallelizes across
     streams: ~60 MB/s single vs ~130 MB/s with 8-16 threads)."""
@@ -1300,6 +1552,7 @@ class DeviceMixer:
         # and thus ONE jit compile
         self._union_stages = {}  # stage key -> template
         self._union_fbd = {}     # unit_id -> template dict
+        self._union_filters = {}  # filter class key -> {S, K}
         self._fine = False       # exact-fit padding (observe())
 
     def observe(self, prog):
@@ -1320,6 +1573,9 @@ class DeviceMixer:
                 "key": fd["key"], "stereoin": fd["stereoin"],
                 "stereoout": fd["stereoout"], "add": fd["add"],
                 "chunk": fd["chunk"], "ns": fd["arr"].shape[0]}
+        for fl in prog.filters:
+            self._union_filters[fl["key"]] = {
+                "S": fl["arr"].shape[0], "K": fl["arr"].shape[1]}
 
     def _atlas(self):
         pa = self.core._pair_atlas
@@ -1435,6 +1691,16 @@ class DeviceMixer:
                 arr = np.zeros((NSp, 13), np.int32)
                 arr[:NS] = fd["arr"]
                 fd["arr"] = arr
+        for fl in prog.filters:
+            S_, K_ = fl["arr"].shape[:2]
+            Sp = grow(("flS",) + fl["key"], S_)
+            Kp = grow(("flK",) + fl["key"], K_)
+            if Sp > S_ or Kp > K_:
+                arr = np.zeros((Sp, Kp, 13), np.int32)
+                arr[:, :, 2] = dead
+                arr[:, :, 3] = dead
+                arr[:S_, :K_] = fl["arr"]
+                fl["arr"] = arr
 
         # profiled structure union: emit dead entries for stages /
         # fbdelay instances absent from this superblock so the jit
@@ -1465,6 +1731,19 @@ class DeviceMixer:
                     "stereoout": t["stereoout"], "add": t["add"],
                     "arr": np.zeros((ns, 13), np.int32), "n": 0,
                     "chunk": t["chunk"]})
+        if self._union_filters:
+            have = {fl["key"] for fl in prog.filters}
+            for key, t in self._union_filters.items():
+                if key in have:
+                    continue
+                Sp = max(t["S"], hw.get(("flS",) + key, 0))
+                Kp = max(t["K"], hw.get(("flK",) + key, 0))
+                arr = np.zeros((Sp, Kp, 13), np.int32)
+                arr[:, :, 2] = dead
+                arr[:, :, 3] = dead
+                prog.filters.append({"kind": key[2], "key": key,
+                                     "serials": [], "arr": arr,
+                                     "n": 0})
 
     def _signature(self, prog):
         rows = tuple((cls, NB) for cls, NB, _ in prog.class_blocks)
@@ -1479,6 +1758,8 @@ class DeviceMixer:
             items.append(("fbd", fd["key"],
                           (fd["arr"].shape[0], fd["stereoin"],
                            fd["stereoout"], fd["add"], fd["chunk"])))
+        for fl in prog.filters:
+            items.append(("filt", fl["key"], fl["arr"].shape[:2]))
         items.sort(key=lambda t: t[1])
         return (prog.F, prog.ninst, prog.master_inst,
                 prog.master_channels, rows, rpad, ns,
@@ -1493,7 +1774,8 @@ class DeviceMixer:
         Rtot = sum(NB * OK.RPB for _, NB in rows_sig)
 
         def fn(atlas, tbase_devs, runmat, rampmat, stash_audio,
-               stash_slot, stage_arrs, fbd_arrs, fbd_rings, fbd_pos):
+               stash_slot, stage_arrs, fbd_arrs, fbd_rings, fbd_pos,
+               filt_arrs, filt_states):
             nslot = ninst * F + 1
             slots = jnp.zeros((nslot, 2, FRAG), jnp.int32)
             if rpad and Rtot:
@@ -1504,23 +1786,31 @@ class DeviceMixer:
             if ns:
                 slots = slots.at[stash_slot].add(stash_audio)
             new_rings = []
-            si = fi = 0
+            new_filt = []
+            si = fi = gi = 0
             for tag, key, extra in exec_items:
                 if tag == "stage":
                     slots = _apply_stage(slots, key, stage_arrs[si])
                     si += 1
-                else:
+                elif tag == "fbd":
                     _, stereoin, stereoout, add, C = extra
                     slots, ring = _apply_fbdelay(
                         slots, (stereoin, stereoout, add, C),
                         fbd_arrs[fi], fbd_rings[fi], fbd_pos[fi])
                     new_rings.append(ring)
                     fi += 1
+                else:
+                    slots, stf = _apply_filter(
+                        slots, key[2],
+                        (key[3], key[4], key[5], key[6], key[7]),
+                        filt_arrs[gi], filt_states[gi])
+                    new_filt.append(stf)
+                    gi += 1
             master = slots[minst * F:(minst + 1) * F, :mch]
             if readback == "i16":
                 master = jnp.clip(master >> 8, -32768, 32767) \
                     .astype(jnp.int16)
-            return master, new_rings
+            return master, new_rings, new_filt
 
         return jax.jit(fn)
 
@@ -1569,6 +1859,8 @@ class DeviceMixer:
             items.append(("stage", st["key"], st))
         for fd in prog.fbdelays:
             items.append(("fbd", fd["key"], fd))
+        for fl in prog.filters:
+            items.append(("filt", fl["key"], fl))
         items.sort(key=lambda t: t[1])
         stage_arrs = []
         fbd_arrs = []
@@ -1576,10 +1868,13 @@ class DeviceMixer:
         fbd_pos = []
         fbd_ids = []
         fbd_nframes = []
+        filt_arrs = []
+        filt_states = []
+        filt_serials = []
         for tag, _, ob in items:
             if tag == "stage":
                 stage_arrs.append(jnp.asarray(ob["arr"]))
-            else:
+            elif tag == "fbd":
                 uid = ob["unit_id"]
                 ring = self._rings.get(uid)
                 if ring is None:
@@ -1590,16 +1885,36 @@ class DeviceMixer:
                 fbd_pos.append(jnp.int32(ring[1] & (_FBD_BUFSIZE - 1)))
                 fbd_ids.append(uid)
                 fbd_nframes.append(int(ob["arr"][:, 5].sum()))
+            else:
+                kind = ob["kind"]
+                K = ob["arr"].shape[1]
+                sts = []
+                for j in range(K):
+                    uid = ob["serials"][j] \
+                        if j < len(ob["serials"]) else None
+                    s = self._rings.get(("filt", uid)) \
+                        if uid is not None else None
+                    if s is None:
+                        s = jnp.int64(_LIM_PEAK0) if kind == "lim" \
+                            else jnp.zeros((2, 2), jnp.int32)
+                    sts.append(s)
+                filt_arrs.append(jnp.asarray(ob["arr"]))
+                filt_states.append(jnp.stack(sts))
+                filt_serials.append(ob["serials"])
 
-        master, new_rings = fn(atlas, tbase_devs, runmat, rampmat,
-                               stash_audio, stash_slot,
-                               stage_arrs, fbd_arrs, fbd_rings,
-                               jnp.asarray(fbd_pos, jnp.int32)
-                               if fbd_pos else
-                               jnp.zeros((0,), jnp.int32))
+        master, new_rings, new_filt = fn(
+            atlas, tbase_devs, runmat, rampmat,
+            stash_audio, stash_slot,
+            stage_arrs, fbd_arrs, fbd_rings,
+            jnp.asarray(fbd_pos, jnp.int32)
+            if fbd_pos else jnp.zeros((0,), jnp.int32),
+            filt_arrs, filt_states)
         for uid, ring, nf in zip(fbd_ids, new_rings, fbd_nframes):
             self._rings[uid][0] = ring
             self._rings[uid][1] = (self._rings[uid][1] + nf)                 % _FBD_BUFSIZE
+        for serials, stf in zip(filt_serials, new_filt):
+            for j, uid in enumerate(serials):
+                self._rings[("filt", uid)] = stf[j]
 
         return (master, prog.frag_sizes, prog.master_channels)
 

@@ -5,7 +5,27 @@ import warnings
 # Virtual 8-device CPU mesh for sharding tests; set before jax import.
 os.environ.setdefault("XLA_FLAGS",
                       "--xla_force_host_platform_device_count=8")
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+# Test tiers:
+#   default            — fast, deterministic, CPU-only (<5 min)
+#   A2_DEEP_TESTS=1    — adds the slow interpret-mode / long-golden
+#                        tests (marker: slow)
+#   A2_TPU_TESTS=1     — runs the device tests against the real TPU
+#                        (marker: tpu) and leaves the platform alone
+#
+# The env var alone is NOT enough to force CPU here: the deployment's
+# site hook registers the axon TPU backend and overrides
+# JAX_PLATFORMS, so the default tier pins the platform through
+# jax.config (must happen before any backend init).
+TPU_TIER = os.environ.get("A2_TPU_TESTS") == "1"
+DEEP_TIER = os.environ.get("A2_DEEP_TESTS") == "1"
+if not TPU_TIER:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
 
 warnings.filterwarnings("ignore")
 
@@ -13,6 +33,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
 
 import numpy as np
 import pytest
+
+
+def pytest_collection_modifyitems(config, items):
+    skip_slow = pytest.mark.skip(
+        reason="deep tier: run with A2_DEEP_TESTS=1")
+    skip_tpu = pytest.mark.skip(
+        reason="TPU tier: run with A2_TPU_TESTS=1")
+    for it in items:
+        if "slow" in it.keywords and not DEEP_TIER:
+            it.add_marker(skip_slow)
+        if "tpu" in it.keywords and not TPU_TIER:
+            it.add_marker(skip_tpu)
 
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)),
                           "goldens")

@@ -85,8 +85,10 @@ def test_corpus_python(name, prog, batched):
         f"{name}: first diff at {int(np.argmax(mine != gold))}"
 
 
-@pytest.mark.parametrize("name", ["ragingfire", "megastrings",
-                                  "rendertest"])
+@pytest.mark.parametrize("name", [
+    "ragingfire",
+    pytest.param("megastrings", marks=pytest.mark.slow),
+    "rendertest"])
 def test_renderwave_scripts_cross_engine(name):
     """Scripts whose wave{} definitions need a2_RenderWave — which the
     REFERENCE's offline configs refuse (NOTIMPLEMENTED), so no golden

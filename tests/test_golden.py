@@ -40,6 +40,7 @@ def test_song_bit_exact(song, seconds, batched):
         f"{song}: {len(diff)} differing samples, first at {diff[0]}")
 
 
+@pytest.mark.slow
 def test_k2trance_stereo_golden():
     """Stereo (2-channel) renders must match the reference's stereo
     output frame-interleaved golden on all three engine paths
