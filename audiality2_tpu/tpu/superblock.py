@@ -885,11 +885,24 @@ def _w32(x):
 
 
 def _tdiv(a, b):
-    """C truncated division, exact for |a| < 2^52 (f64 quotient is
-    correctly rounded and |a/b|*2^-53 < 1/|b|, so the truncation
-    can't cross an integer unless the quotient is exact)."""
-    q = a.astype(jnp.float64) / b.astype(jnp.float64)
-    return jnp.trunc(q).astype(jnp.int64)
+    """C truncated i64/i64 division, b > 0, EXACT: two-stage f32
+    estimate (f32 division is native on the TPU VPU; f64 would be
+    software-emulated) + integer correction.  Stage 1 leaves
+    |q - q*| <~ 2^10 for |a| < 2^57; stage 2 on the remainder leaves
+    |q - q*| <= 2; two correction steps finish it."""
+    bf = b.astype(jnp.float32)
+    q = jnp.trunc(a.astype(jnp.float32) / bf).astype(jnp.int64)
+    for _ in range(2):
+        r = a - q * b
+        q = q + jnp.trunc(r.astype(jnp.float32) / bf) \
+            .astype(jnp.int64)
+    for _ in range(2):
+        r = a - q * b
+        pos = a >= 0
+        dec = (pos & (r < 0)) | (~pos & (r <= -b))
+        inc = (pos & (r >= b)) | (~pos & (r > 0))
+        q = q - dec.astype(jnp.int64) + inc.astype(jnp.int64)
+    return q
 
 
 def _prepare_vec(v, tg, t, fr):
@@ -1149,19 +1162,11 @@ def _emit(slots, dst, ch_out, mask, add):
 
 
 def _div64(num, den):
-    """C truncating i64 division, den > 0: f64 estimate + two exact
-    integer corrections (same domain as the native AVX-512
-    div64_trunc — exact for |num| < 2^53, i.e. in-range audio)."""
+    """C truncating i64 division, den > 0 (waveshaper.c's division;
+    den >= 2^24 for in-range audio).  Same exact two-stage scheme as
+    _tdiv."""
     den = jnp.where(den <= 0, 1, den)
-    q = jnp.trunc(num.astype(jnp.float64)
-                  / den.astype(jnp.float64)).astype(jnp.int64)
-    for _ in range(2):
-        r = num - q * den
-        pos = num >= 0
-        dec = (pos & (r < 0)) | (~pos & (r <= -den))
-        inc = (pos & (r >= den)) | (~pos & (r > 0))
-        q = q - dec.astype(jnp.int64) + inc.astype(jnp.int64)
-    return q
+    return _tdiv(num, den)
 
 
 def _apply_stage(slots, key, arr):
