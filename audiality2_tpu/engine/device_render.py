@@ -295,15 +295,41 @@ class DeviceRenderer:
                 disp.join()
                 disp = None
                 if dres[0] is None:
-                    raise RuntimeError("superblock dispatch failed") \
-                        from dres[1]
+                    # relay fault mid-pipeline: emit whatever already
+                    # fetched, drop in-flight superblocks and restart
+                    # at the emitted frontier on the bit-exact native
+                    # path (the serving resilience contract)
+                    if fetcher is not None:
+                        fetcher.join()
+                        fetcher = None
+                        if fetched[0] is not None:
+                            emit(fetched[0])
+                    import sys
+                    print("a2 device: superblock dispatch failed, "
+                          "bridging natively: %r" % (dres[1],),
+                          file=sys.stderr)
+                    self._fallback(emitted[0],
+                                   total_frames - emitted[0])
+                    rec_out = None
+                    pending = None
+                    n = emitted[0]
+                    continue
                 pending = dres[0]
             if fetcher is not None:
                 fetcher.join()
                 fetcher = None
                 if fetched[0] is None:
-                    raise RuntimeError("superblock fetch failed") \
-                        from fetched[1]
+                    import sys
+                    print("a2 device: superblock fetch failed, "
+                          "bridging natively: %r" % (fetched[1],),
+                          file=sys.stderr)
+                    self._fallback(emitted[0],
+                                   total_frames - emitted[0])
+                    rec_out = None
+                    disp = None
+                    pending = None
+                    n = emitted[0]
+                    continue
                 emit(fetched[0])
             if pending is not None:
                 h = pending

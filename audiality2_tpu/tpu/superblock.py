@@ -148,6 +148,8 @@ class SuperblockProgram:
         # stash
         self.stash_audio = None  # int32 [NS, 2, 64] pre-masked
         self.stash_slot = None   # int32 [NS]
+        self.stash_mono = None   # int32 [NSm, 64] (1-channel patches)
+        self.stash_mono_slot = None
         # stages: list of dicts (kind, variant, arrays)
         self.stages = []
         # fbdelay instances: list of dicts
@@ -694,15 +696,31 @@ def program_from_native(rows, stages, stash, F, frag_sizes,
             rows[:, RF_LEN], extra)
 
     # ----- stash -----
+    # mono patches (the common case: fm/noise/dc leaf voices) upload
+    # one channel instead of the record format's fixed two — half the
+    # stash bytes on fm-heavy songs
     NS = len(stash)
     if NS:
-        NSp = _pow2(NS, 64)
-        sa = np.zeros((NSp, 2, FRAG), np.int32)
-        sa[:NS] = stash[:, 5:].reshape(NS, 2, FRAG)
-        ssl = np.full(NSp, ninst * F, np.int32)
-        ssl[:NS] = slot(stash[:, 0], stash[:, 1])
-        prog.stash_audio = sa
-        prog.stash_slot = ssl
+        mono_sel = stash[:, 4] <= 1
+        sm = stash[mono_sel]
+        st2 = stash[~mono_sel]
+        NSm, NSs = len(sm), len(st2)
+        if NSm:
+            NSmp = _pow2(NSm, 64)
+            ma = np.zeros((NSmp, FRAG), np.int32)
+            ma[:NSm] = sm[:, 5:5 + FRAG]
+            msl = np.full(NSmp, ninst * F, np.int32)
+            msl[:NSm] = slot(sm[:, 0], sm[:, 1])
+            prog.stash_mono = ma
+            prog.stash_mono_slot = msl
+        if NSs:
+            NSp = _pow2(NSs, 64)
+            sa = np.zeros((NSp, 2, FRAG), np.int32)
+            sa[:NSs] = st2[:, 5:].reshape(NSs, 2, FRAG)
+            ssl = np.full(NSp, ninst * F, np.int32)
+            ssl[:NSs] = slot(st2[:, 0], st2[:, 1])
+            prog.stash_audio = sa
+            prog.stash_slot = ssl
 
     # ----- stages (vectorized grouping) -----
     if len(stages):
@@ -1468,11 +1486,32 @@ def _apply_filter(slots, kind, sig, arr, state):
     return slots, state
 
 
+# bounded transfer retry: the deployment relay occasionally drops a
+# transfer (FAILED_PRECONDITION) or stalls; a failed chunk is retried
+# with exponential backoff before the error propagates (where the
+# caller's native-path fallback absorbs it)
+_XFER_TRIES = 3
+_XFER_BACKOFF = 0.25
+
+
+def _retry(fn):
+    import time as _t
+    delay = _XFER_BACKOFF
+    for attempt in range(_XFER_TRIES):
+        try:
+            return fn()
+        except BaseException:
+            if attempt == _XFER_TRIES - 1:
+                raise
+            _t.sleep(delay)
+            delay *= 4
+
+
 def _threaded_put(arr, nchunks=8, min_bytes=1 << 19):
     """Chunked threaded h2d upload (the relay parallelizes across
     streams: ~60 MB/s single vs ~130 MB/s with 8-16 threads)."""
     if arr.nbytes < min_bytes:
-        return jnp.asarray(arr)
+        return _retry(lambda: jnp.asarray(arr))
     import threading
     k = min(nchunks, arr.shape[0])
     bounds = np.linspace(0, arr.shape[0], k + 1).astype(int)
@@ -1481,7 +1520,8 @@ def _threaded_put(arr, nchunks=8, min_bytes=1 << 19):
 
     def g(i):
         try:
-            outs[i] = jax.device_put(arr[bounds[i]:bounds[i + 1]])
+            outs[i] = _retry(
+                lambda: jax.device_put(arr[bounds[i]:bounds[i + 1]]))
         except BaseException as e:
             errs.append(e)
     th = [threading.Thread(target=g, args=(i,)) for i in range(k)]
@@ -1506,7 +1546,7 @@ def _threaded_get(dev, nchunks=8):
 
     def g(i):
         try:
-            outs[i] = np.asarray(parts[i])
+            outs[i] = _retry(lambda: np.asarray(parts[i]))
         except BaseException as e:
             errs.append(e)
     th = [threading.Thread(target=g, args=(i,)) for i in range(k)]
@@ -1678,6 +1718,17 @@ class DeviceMixer:
                     sa[:NS] = prog.stash_audio
                     sl[:NS] = prog.stash_slot
                 prog.stash_audio, prog.stash_slot = sa, sl
+        if prog.stash_mono is not None or hw.get("stashm", 0):
+            NS = prog.stash_mono.shape[0] \
+                if prog.stash_mono is not None else 0
+            NSp = grow("stashm", NS)
+            if NSp > NS:
+                sa = np.zeros((NSp, FRAG), np.int32)
+                sl = np.full(NSp, dead, np.int32)
+                if NS:
+                    sa[:NS] = prog.stash_mono
+                    sl[:NS] = prog.stash_mono_slot
+                prog.stash_mono, prog.stash_mono_slot = sa, sl
         for st in prog.stages:
             K = st["arr"].shape[0]
             Kp = grow(("st",) + st["key"], K)
@@ -1756,6 +1807,8 @@ class DeviceMixer:
         ramppad = prog.rampmat.shape[0] \
             if getattr(prog, "rampmat", None) is not None else 0
         ns = prog.stash_audio.shape[0] if prog.stash_audio is not None             else 0
+        nsm = prog.stash_mono.shape[0] \
+            if getattr(prog, "stash_mono", None) is not None else 0
         items = []
         for st in prog.stages:
             items.append(("stage", st["key"], st["arr"].shape[0]))
@@ -1767,20 +1820,20 @@ class DeviceMixer:
             items.append(("filt", fl["key"], fl["arr"].shape[:2]))
         items.sort(key=lambda t: t[1])
         return (prog.F, prog.ninst, prog.master_inst,
-                prog.master_channels, rows, rpad, ns,
+                prog.master_channels, rows, rpad, ns, nsm,
                 ramppad if prog.has_ramp else 0, self.readback,
                 tuple(items))
 
     def _build_fn(self, prog, sig):
-        (F, ninst, minst, mch, rows_sig, rpad, ns, ramppad,
+        (F, ninst, minst, mch, rows_sig, rpad, ns, nsm, ramppad,
          readback, items) = sig
         interpret = self.interpret
         exec_items = list(items)
         Rtot = sum(NB * OK.RPB for _, NB in rows_sig)
 
         def fn(atlas, tbase_devs, runmat, rampmat, stash_audio,
-               stash_slot, stage_arrs, fbd_arrs, fbd_rings, fbd_pos,
-               filt_arrs, filt_states):
+               stash_slot, stash_mono, stash_mono_slot, stage_arrs,
+               fbd_arrs, fbd_rings, fbd_pos, filt_arrs, filt_states):
             nslot = ninst * F + 1
             slots = jnp.zeros((nslot, 2, FRAG), jnp.int32)
             if rpad and Rtot:
@@ -1790,6 +1843,8 @@ class DeviceMixer:
                                      ramppad > 0)
             if ns:
                 slots = slots.at[stash_slot].add(stash_audio)
+            if nsm:
+                slots = slots.at[stash_mono_slot, 0].add(stash_mono)
             new_rings = []
             new_filt = []
             si = fi = gi = 0
@@ -1853,10 +1908,15 @@ class DeviceMixer:
         else:
             rampmat = jnp.zeros((0, RR_N), jnp.int32)
         if prog.stash_audio is not None:
-            stash_audio = jnp.asarray(prog.stash_audio)
+            stash_audio = _threaded_put(prog.stash_audio)
             stash_slot = jnp.asarray(prog.stash_slot)
         else:
             stash_audio = stash_slot = jnp.zeros((0,), jnp.int32)
+        if getattr(prog, "stash_mono", None) is not None:
+            stash_mono = _threaded_put(prog.stash_mono)
+            stash_mono_slot = jnp.asarray(prog.stash_mono_slot)
+        else:
+            stash_mono = stash_mono_slot = jnp.zeros((0,), jnp.int32)
 
         # assemble per-item arrays in sorted (execution) order
         items = []
@@ -1909,7 +1969,7 @@ class DeviceMixer:
 
         master, new_rings, new_filt = fn(
             atlas, tbase_devs, runmat, rampmat,
-            stash_audio, stash_slot,
+            stash_audio, stash_slot, stash_mono, stash_mono_slot,
             stage_arrs, fbd_arrs, fbd_rings,
             jnp.asarray(fbd_pos, jnp.int32)
             if fbd_pos else jnp.zeros((0,), jnp.int32),

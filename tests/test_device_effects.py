@@ -87,3 +87,36 @@ def test_limiter_stereo_device_exact():
     assert not fb
     assert np.abs(nat).max() > 0
     assert (nat == dev).all()
+
+
+def test_dispatch_fault_bridges_natively():
+    """A relay fault mid-pipeline (dispatch raising) must drop the
+    in-flight superblocks and restart at the emitted frontier on the
+    native path, sample-exactly (the serving resilience contract)."""
+    import audiality2_tpu as a2
+    from audiality2_tpu.engine.device_render import DeviceRenderer
+
+    gold = np.fromfile("/root/repo/goldens/k2loader-5s-44100.raw",
+                       np.int32)
+    N = int(2.0 * 44100)
+    i = a2.open_engine(44100, 4096, 1, batched=False)
+    prog = i.get(i.load("/root/reference/benchmark/k2loader.a2s"),
+                 "Song")
+    r = DeviceRenderer(i, channels=1, interpret=True)
+    r.timestamp_reset()
+    r.start(0, prog)
+    calls = [0]
+    orig = r.mixer.dispatch
+
+    def flaky(p):
+        calls[0] += 1
+        if calls[0] == 3:
+            raise RuntimeError("injected relay fault")
+        return orig(p)
+
+    r.mixer.dispatch = flaky
+    out = r.render(N, bufsize=16 * 64)
+    r.close()
+    m = N - N % 4096
+    assert r.fell_back
+    assert (out[0][:m] == gold[:m]).all()
