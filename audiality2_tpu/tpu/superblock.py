@@ -1898,22 +1898,41 @@ class DeviceMixer:
         atlas = self._atlas()
         tbase_devs = [jnp.asarray(tb)
                       for _, _, tb in prog.class_blocks]
-        if prog.runmat is not None and prog.runmat.size:
-            runmat = _threaded_put(prog.runmat)
-        else:
-            runmat = jnp.zeros((0, BASE_N), jnp.int32)
+        # ONE blob upload for the big arrays: the relay's h2d rate
+        # scales with stream count (~60 MB/s single, ~130 MB/s
+        # 16-way), so concatenating runmat/rampmat/stash into a
+        # single 16-way-chunked transfer and slicing on-device beats
+        # four sequential puts by ~2-3x
         rmp = getattr(prog, "rampmat", None)
+        smn = getattr(prog, "stash_mono", None)
+        parts = []
+        if prog.runmat is not None and prog.runmat.size:
+            parts.append(("rm", prog.runmat))
         if rmp is not None and rmp.size:
-            rampmat = _threaded_put(rmp)
-        else:
-            rampmat = jnp.zeros((0, RR_N), jnp.int32)
+            parts.append(("rmp", rmp))
         if prog.stash_audio is not None:
-            stash_audio = _threaded_put(prog.stash_audio)
+            parts.append(("sa", prog.stash_audio))
+        if smn is not None:
+            parts.append(("sm", smn))
+        if parts:
+            blob = np.concatenate([a.ravel() for _, a in parts])
+            dev = _threaded_put(blob, nchunks=16)
+            out = {}
+            pos = 0
+            for name, a in parts:
+                out[name] = dev[pos:pos + a.size].reshape(a.shape)
+                pos += a.size
+        else:
+            out = {}
+        runmat = out.get("rm", jnp.zeros((0, BASE_N), jnp.int32))
+        rampmat = out.get("rmp", jnp.zeros((0, RR_N), jnp.int32))
+        if "sa" in out:
+            stash_audio = out["sa"]
             stash_slot = jnp.asarray(prog.stash_slot)
         else:
             stash_audio = stash_slot = jnp.zeros((0,), jnp.int32)
-        if getattr(prog, "stash_mono", None) is not None:
-            stash_mono = _threaded_put(prog.stash_mono)
+        if "sm" in out:
+            stash_mono = out["sm"]
             stash_mono_slot = jnp.asarray(prog.stash_mono_slot)
         else:
             stash_mono = stash_mono_slot = jnp.zeros((0,), jnp.int32)
