@@ -198,7 +198,7 @@ RR_N = 14
 
 # device ramp-replay scan length (native a2rt_record.inc RUN_KCHUNK):
 # a RAMP run spans at most this many fragments
-RUN_KCHUNK = 64
+RUN_KCHUNK = 16
 
 
 def _build_runs(prog, cls_arr, tbase, posoff, ph_hi, ph_lo, dph,
@@ -1022,7 +1022,9 @@ def _ramp_scan(rmp, base):
     carry0 = (av, at, vv, vt, pv, ptm, pcv, pct, pramp, dphraw, ph)
     _, outs = jax.lax.scan(step, carry0,
                            jnp.arange(1, RUN_KCHUNK, dtype=jnp.int64))
-    return outs
+    # one [K-1, NrR, 8] matrix so the expansion needs a single row
+    # gather instead of eight element gathers
+    return jnp.stack(outs, axis=-1)
 
 
 def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
@@ -1081,9 +1083,11 @@ def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
         ridx = g[:, RC_RIDX]
         fidx = jnp.clip(k - 1, 0, RUN_KCHUNK - 2).astype(jnp.int64) \
             * NrR + jnp.clip(ridx, 0, None).astype(jnp.int64)
+        tg = jnp.take(traj.reshape(-1, traj.shape[-1]), fidx,
+                      axis=0)                        # [Rtot, 8]
 
         def pick(i):
-            return jnp.take(traj[i].reshape(-1), fidx)
+            return tg[:, i]
         use = (ridx >= 0) & (k >= 1) & alive
         amp = jnp.where(use, pick(0).astype(jnp.int32), amp)
         damp = jnp.where(use, pick(1).astype(jnp.int32), damp)
