@@ -52,6 +52,89 @@ def dump_exports(i, module, with_asm=False):
             print(i.dump_code(h, prefix="   "))
 
 
+def run_live(i, prog, args):
+    """Interactive jam surface (the reference's test/a2test.c keyboard
+    player, stdin-driven): the program runs as the EP-7 MIDI handler
+    on the host engine with a live MIDI driver; stdin lines inject
+    events with wall-clock timestamps while a realtime-paced loop
+    renders, so timing feels and quantizes like a live take.  Works
+    headless (pipe a script of events) or at a terminal."""
+    import threading
+
+    out = []
+    if args.channels == 1:
+        i.sink_callback(lambda bufs, frames: out.append(
+            np.array(bufs[0])))
+    else:
+        i.sink_callback(lambda bufs, frames: out.append(
+            np.stack([np.array(b) for b in bufs[:args.channels]],
+                     axis=1).reshape(-1)))
+    i.timestamp_reset()
+    vh = i.starta(i.root_voice(), prog, [])
+    drv = i.set_midi_driver("live", handler_voice=vh)
+    stop = threading.Event()
+
+    def reader():
+        for line in sys.stdin:
+            parts = line.split()
+            if not parts:
+                continue
+            cmd = parts[0].lower()
+            try:
+                if cmd == "q":
+                    break
+                elif cmd == "w":        # wait (ms) — scripted takes
+                    time.sleep(float(parts[1]) / 1000.0)
+                elif cmd == "n":        # note on
+                    note = int(parts[1])
+                    vel = int(parts[2]) if len(parts) > 2 else 100
+                    drv.inject(0x90, note, vel)
+                elif cmd == "o":        # note off
+                    drv.inject(0x80, int(parts[1]), 0)
+                elif cmd == "c":        # control change
+                    drv.inject(0xB0, int(parts[1]), int(parts[2]))
+                elif cmd == "b":        # pitch bend (14-bit value)
+                    v = int(parts[1]) & 0x3FFF
+                    drv.inject(0xE0, v & 0x7F, v >> 7)
+                else:
+                    print("live: n <note> [vel] | o <note> | "
+                          "c <ctrl> <val> | b <bend> | q",
+                          file=sys.stderr)
+            except (ValueError, IndexError):
+                print(f"live: bad event: {line.strip()}",
+                      file=sys.stderr)
+        stop.set()
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    print("a2play-tpu: live mode — enter events on stdin "
+          "(n <note> [vel] / o <note> / c / b / q)", flush=True)
+    chunk = 1024
+    total = int(args.stoptime * args.rate)
+    n = 0
+    t0 = time.perf_counter()
+    while not stop.is_set() and n < total:
+        # realtime pacing: never render ahead of the wall clock, so
+        # injected events land in the near future like a sequencer
+        target = int((time.perf_counter() - t0) * args.rate) + chunk
+        while n < min(target, total):
+            i.run(chunk)
+            n += chunk
+        time.sleep(chunk / args.rate / 2)
+    # release tail after quit/EOF so the last notes ring out
+    tail = min(total - n, args.rate)
+    while tail > 0:
+        i.run(chunk)
+        tail -= chunk
+    audio = np.concatenate(out) if out else np.zeros(0, np.int32)
+    secs = len(audio) / args.rate / max(args.channels, 1)
+    print(f"a2play-tpu: live session: {secs:.2f} s")
+    if args.output:
+        write_wav(args.output, audio, args.rate, args.channels)
+        print(f"a2play-tpu: wrote {args.output}")
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="a2play-tpu", add_help=True)
     ap.add_argument("file", help=".a2s module to load")
@@ -88,6 +171,14 @@ def main(argv=None):
                     choices=("hifi", "normal", "lofi"),
                     help="wtosc interpolation quality (reference "
                          "A2_HIFI / default / A2_LOFI builds)")
+    ap.add_argument("--live", action="store_true",
+                    help="interactive mode (a2test-style jam "
+                         "surface): the program runs as an EP-7 MIDI "
+                         "handler, events are read from stdin "
+                         "('n <note> [vel]' on, 'o <note>' off, "
+                         "'c <ctrl> <val>', 'b <bend>', 'q' quit) "
+                         "and rendered realtime-paced; -o writes the "
+                         "session WAV")
     args = ap.parse_args(argv)
 
     from . import open_engine
@@ -113,6 +204,9 @@ def main(argv=None):
         print(f"a2play-tpu: program '{pname}' not found",
               file=sys.stderr)
         return 1
+
+    if args.live:
+        return run_live(i, prog, args)
 
     use_native = args.native
     if use_native is None:

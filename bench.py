@@ -68,13 +68,13 @@ def bench_device_path(seconds=192.0, samplerate=44100):
         # on-device (bit-exact for WAV sinks, -101 dBFS on the int32
         # contract, half the d2h bytes)
         r = DeviceRenderer(i, channels=1, readback="i16")
-        # the once-per-process Mosaic warmup (40-400 s through this
-        # deployment's relay; <1 s on a locally-attached TPU) runs on
-        # a background thread — production renders bridge through the
+        # the once-per-process Mosaic warmup (40-900 s through this
+        # deployment's relay, high variance; <1 s on a locally-attached
+        # TPU) runs on a background thread — production renders bridge through the
         # native path meanwhile; here we wait so the measured numbers
         # are the device path's own
         t0 = _t.perf_counter()
-        warmed = r.wait_device(timeout=560)
+        warmed = r.wait_device(timeout=900)
         warm_s = _t.perf_counter() - t0
         r.timestamp_reset()
         r.start(0, song)
@@ -121,7 +121,7 @@ def bench_serving(K=6, seconds=96.0, samplerate=44100):
         # don't bridge natively
         i0 = a2.open_engine(samplerate, 4096, 1, batched=False)
         rw = DeviceRenderer(i0, channels=1)
-        warmed = rw.wait_device(timeout=560)
+        warmed = rw.wait_device(timeout=900)
         rw.close()
         if not warmed:
             return None

@@ -189,3 +189,16 @@ def test_multirate_other_songs():
         r.close()
         assert np.array_equal(np.concatenate(out)[:len(gold)], gold), \
             f"{name}@{rate}"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("song", ["k2trance", "k2intro"])
+def test_song_bit_exact_deep(song):
+    """Deep tier: the PYTHON engines' late-song coverage (arrangement
+    entries past the fast tier's 1-2 s) — 5 s through the interleaved
+    host engine vs the reference golden."""
+    mine = render_song(f"{BENCH_DIR}/{song}.a2s", seconds=5.0)
+    gold = load_golden(f"{song}-5s-44100.raw", len(mine))
+    diff = np.nonzero(mine != gold)[0]
+    assert len(diff) == 0, (
+        f"{song}: {len(diff)} differing samples, first at {diff[0]}")
