@@ -48,13 +48,21 @@ class StreamJob:
 
 
 def render_many(jobs, bufsize=None, serialize_transfers=True,
-                interpret=None, profile=True, readback="exact"):
+                interpret=None, profile=True, readback="exact",
+                stagger=True, stagger_timeout=180.0):
     """Renders all jobs concurrently on the device path.  Each job's
     output is bit-exact with a solo render (streams share no mutable
     state beyond the device itself).  Returns the job list with
     .output filled (or .error set; the first error is re-raised).
     readback="i16" halves each stream's d2h bytes (see
-    DeviceMixer.readback) — lossless for 16-bit PCM sinks."""
+    DeviceMixer.readback) — lossless for 16-bit PCM sinks.
+
+    stagger=True starts stream k+1 only once stream k has COMPILED
+    its jit signature (or fell back / timed out): this deployment's
+    relay compile service stalls for minutes under concurrent
+    compiles (DESIGN.md fleet findings), and every stream needs
+    exactly one compile thanks to the profiled single-signature
+    render — staggering turns the stall into a short ramp-up."""
     lock = threading.Lock() if serialize_transfers else None
     for j in jobs:
         r = DeviceRenderer(j.interface, channels=j.channels,
@@ -64,6 +72,8 @@ def render_many(jobs, bufsize=None, serialize_transfers=True,
         r.start(0, j.program, *j.args)
         j.renderer = r
 
+    done = []
+
     def go(j):
         try:
             j.output = j.renderer.render(
@@ -72,11 +82,20 @@ def render_many(jobs, bufsize=None, serialize_transfers=True,
         except BaseException as e:
             j.error = e
         finally:
+            done.append(j)
             j.renderer.close()
 
     threads = [threading.Thread(target=go, args=(j,)) for j in jobs]
-    for t in threads:
+    import time as _t
+    for t, j in zip(threads, jobs):
         t.start()
+        if not stagger:
+            continue
+        deadline = _t.monotonic() + stagger_timeout
+        while _t.monotonic() < deadline and j not in done \
+                and not j.renderer.mixer._fns \
+                and not j.renderer.fell_back:
+            _t.sleep(0.25)
     for t in threads:
         t.join()
     for j in jobs:

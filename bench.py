@@ -101,7 +101,7 @@ def bench_device_path(seconds=192.0, samplerate=44100):
         return None, None, None
 
 
-def bench_serving(K=6, seconds=96.0, samplerate=44100):
+def bench_serving(K=4, seconds=96.0, samplerate=44100):
     """Aggregate multi-stream serving throughput: K concurrent songs
     through the device path (audiality2_tpu.serve.render_many, shared
     transfer lock, i16 readback).  The chip is mostly idle in
