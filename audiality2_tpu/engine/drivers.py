@@ -333,6 +333,189 @@ class ClockedCallbackDriver(AudioDriver):
         self.stop()
 
 
+class SdlAudioDriver(AudioDriver):
+    """Hardware audio output via SDL2 (the reference's sdldrv.c),
+    loaded through ctypes at open time.  On systems without libSDL2
+    (or without an audio device) opening raises DEVICEOPEN cleanly —
+    the same failure mode as the reference on an audio-less host.
+    The audio callback renders the engine directly (pull model), with
+    int32 8:24 -> int16 conversion matching the WAV writer.
+
+    Options: "sdl[,buffer]" (buffer frames, default engine config).
+
+    NOTE: this deployment image has no audio stack, so this driver is
+    exercised to the open-failure path only; the callback body
+    follows SDL_OpenAudioDevice's documented contract."""
+
+    name = "sdl"
+
+    def __init__(self, state, options=()):
+        super().__init__(state, options)
+        import ctypes as C
+        lib = None
+        for nm in ("libSDL2-2.0.so.0", "libSDL2.so", "SDL2"):
+            try:
+                lib = C.CDLL(nm)
+                break
+            except OSError:
+                continue
+        if lib is None:
+            from ..errors import A2Exception, A2Error
+            raise A2Exception(A2Error.DEVICEOPEN,
+                              "SDL2 library not available")
+        self._C = C
+        self._lib = lib
+        SDL_INIT_AUDIO = 0x10
+        if lib.SDL_Init(SDL_INIT_AUDIO) != 0:
+            from ..errors import A2Exception, A2Error
+            raise A2Exception(A2Error.DEVICEOPEN, "SDL_Init failed")
+
+        class SDL_AudioSpec(C.Structure):
+            _fields_ = [("freq", C.c_int), ("format", C.c_uint16),
+                        ("channels", C.c_uint8), ("silence", C.c_uint8),
+                        ("samples", C.c_uint16), ("padding", C.c_uint16),
+                        ("size", C.c_uint32),
+                        ("callback", C.c_void_p), ("userdata", C.c_void_p)]
+
+        CB = C.CFUNCTYPE(None, C.c_void_p, C.POINTER(C.c_uint8),
+                         C.c_int)
+
+        def _cb(userdata, stream, nbytes):
+            frames = nbytes // (2 * self.channels)
+            chunks = []
+
+            def sink(bufs, n):
+                chunks.append([np.array(b[:n]) for b in
+                               bufs[:self.channels]])
+            core = self.state.core
+            core.sinks.append(sink)
+            try:
+                core.run(frames)
+            finally:
+                core.sinks.remove(sink)
+            if chunks:
+                per = [np.concatenate([c[ch] for c in chunks])
+                       for ch in range(self.channels)]
+                pcm = np.clip(np.stack(per, axis=1).reshape(-1) >> 8,
+                              -32768, 32767).astype("<i2").tobytes()
+            else:
+                pcm = b"\0" * nbytes
+            C.memmove(stream, pcm[:nbytes], min(len(pcm), nbytes))
+
+        self._cb = CB(_cb)           # keep alive
+        want = SDL_AudioSpec()
+        have = SDL_AudioSpec()
+        want.freq = self.samplerate
+        want.format = 0x8010         # AUDIO_S16LSB
+        want.channels = self.channels
+        bufframes = state.config.buffer
+        for o in self.options:
+            if o.isdigit():
+                bufframes = int(o)
+        want.samples = max(64, bufframes)
+        want.callback = C.cast(self._cb, C.c_void_p)
+        lib.SDL_OpenAudioDevice.restype = C.c_uint32
+        self._dev = lib.SDL_OpenAudioDevice(None, 0, C.byref(want),
+                                            C.byref(have), 0)
+        if self._dev == 0:
+            from ..errors import A2Exception, A2Error
+            raise A2Exception(A2Error.DEVICEOPEN,
+                              "SDL_OpenAudioDevice failed")
+
+    def start(self):
+        self._lib.SDL_PauseAudioDevice(self._dev, 0)
+
+    def stop(self):
+        self._lib.SDL_PauseAudioDevice(self._dev, 1)
+
+    def lock(self):
+        self._lib.SDL_LockAudioDevice(self._dev)
+
+    def unlock(self):
+        self._lib.SDL_UnlockAudioDevice(self._dev)
+
+    def run(self, frames):
+        # pull happens on the SDL callback thread; synchronous run is
+        # a no-op like the reference's realtime drivers
+        return None
+
+    def close(self):
+        if getattr(self, "_dev", 0):
+            self._lib.SDL_CloseAudioDevice(self._dev)
+            self._dev = 0
+
+
+class JackAudioDriver(AudioDriver):
+    """Hardware audio via JACK (the reference's jackdrv.c), ctypes.
+    Raises DEVICEOPEN cleanly when libjack (or a running server) is
+    unavailable — this image has neither, so only the failure path
+    runs here; the process-callback wiring follows jack.h."""
+
+    name = "jack"
+
+    def __init__(self, state, options=()):
+        super().__init__(state, options)
+        import ctypes as C
+        try:
+            lib = C.CDLL("libjack.so.0")
+        except OSError:
+            from ..errors import A2Exception, A2Error
+            raise A2Exception(A2Error.DEVICEOPEN,
+                              "JACK library not available")
+        self._C = C
+        self._lib = lib
+        lib.jack_client_open.restype = C.c_void_p
+        status = C.c_int(0)
+        self._client = lib.jack_client_open(
+            b"audiality2", 0, C.byref(status))
+        if not self._client:
+            from ..errors import A2Exception, A2Error
+            raise A2Exception(A2Error.DEVICEOPEN,
+                              "jack_client_open failed (no server?)")
+        CB = C.CFUNCTYPE(C.c_int, C.c_uint32, C.c_void_p)
+        lib.jack_port_register.restype = C.c_void_p
+        lib.jack_port_get_buffer.restype = C.POINTER(C.c_float)
+        self._ports = [
+            lib.jack_port_register(self._client,
+                                   b"out_%d" % c,
+                                   b"32 bit float mono audio",
+                                   0x1 | 0x4, 0)   # output|terminal
+            for c in range(self.channels)]
+
+        def _process(nframes, arg):
+            chunks = []
+
+            def sink(bufs, n):
+                chunks.append([np.array(b[:n]) for b in
+                               bufs[:self.channels]])
+            core = self.state.core
+            core.sinks.append(sink)
+            try:
+                core.run(nframes)
+            finally:
+                core.sinks.remove(sink)
+            for c, port in enumerate(self._ports):
+                buf = lib.jack_port_get_buffer(port, nframes)
+                if chunks:
+                    data = np.concatenate([ch[c] for ch in chunks]) \
+                        .astype(np.float64) / 8388608.0
+                    arr = np.ctypeslib.as_array(buf, (nframes,))
+                    arr[:] = data[:nframes].astype(np.float32)
+            return 0
+
+        self._cb = CB(_process)
+        lib.jack_set_process_callback(self._client, self._cb, None)
+        lib.jack_activate(self._client)
+
+    def run(self, frames):
+        return None
+
+    def close(self):
+        if getattr(self, "_client", None):
+            self._lib.jack_client_close(self._client)
+            self._client = None
+
+
 class HeapSysDriver:
     """RTAlloc/RTFree slot (drivers/mallocdrv.c:30-56): host python
     allocates from its heap; this tracks counts for statistics."""
@@ -353,7 +536,9 @@ class HeapSysDriver:
 
 _REGISTRY = {
     "audio": {"buffer": BufferDriver, "dummy": DummyDriver,
-              "callback": CallbackDriver, "clock": ClockedCallbackDriver},
+              "callback": CallbackDriver,
+              "clock": ClockedCallbackDriver,
+              "sdl": SdlAudioDriver, "jack": JackAudioDriver},
     "midi": {"smf": SmfMidiDriver, "live": LiveMidiDriver},
     "sys": {"heap": HeapSysDriver},
 }

@@ -149,3 +149,18 @@ def test_loglevels(capsys):
                          | A2_LOG_DEBUG)
     i.log(A2_LOG_DEBUG, "now visible")
     assert "now visible" in capsys.readouterr().out
+
+
+def test_hardware_audio_drivers_registered():
+    """sdl/jack hardware backends exist in the registry and fail with
+    a clean DEVICEOPEN on this audio-less image (the reference's own
+    behavior when no device can be opened)."""
+    import pytest
+    from audiality2_tpu.engine.state import open_engine
+    from audiality2_tpu.engine import drivers as D
+    from audiality2_tpu.errors import A2Exception, A2Error
+    i = open_engine(44100, 1024, 1)
+    for name in ("sdl", "jack"):
+        with pytest.raises(A2Exception) as ei:
+            D.new_driver("audio", name, i.state)
+        assert ei.value.code == A2Error.DEVICEOPEN
