@@ -216,12 +216,17 @@ class NativeRenderer:
         on unsupported content — the engine state HAS advanced, so the
         caller must restart the render on the pure native path."""
         nfrag = (frames + 63) // 64
+        # sized for the measured worst cases of the benchmark corpus
+        # (pulsetronic/k2loader fm-dense sections: ~24 rows, ~22
+        # stages, ~16 stash slices per fragment) with ~2x headroom —
+        # an overflow aborts the record (engine state has advanced)
+        # and costs a native-path restart
         if maxrows is None:
             maxrows = max(4096, nfrag * 96)
         if maxstages is None:
-            maxstages = max(1024, nfrag * 24)
+            maxstages = max(1024, nfrag * 48)
         if maxstash is None:
-            maxstash = max(256, nfrag * 16)
+            maxstash = max(256, nfrag * 32)
         rows = np.empty((maxrows, ROW_FIELDS), np.int32)
         stages = np.empty((maxstages, STAGE_FIELDS), np.int32)
         stash = np.empty((maxstash, STASH_STRIDE), np.int32)
