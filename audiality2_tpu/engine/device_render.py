@@ -87,18 +87,34 @@ class DeviceRenderer:
         DeviceRenderer._ensure_warm()
         return DeviceRenderer._warm_done.wait(timeout)
 
+    _NS_COUNTER = [0]
+
     def __init__(self, interface, channels=None, interpret=None,
-                 transfer_lock=None, readback="exact"):
+                 transfer_lock=None, readback="exact", mixer=None):
         from ..tpu.superblock import DeviceMixer
         self.i = interface
         self.nr = NativeRenderer(interface, channels=channels)
         self.samplerate = self.nr.samplerate
         self.master_channels = self.nr.master_channels
-        self._pair_atlas = PairAtlas()
+        DeviceRenderer._NS_COUNTER[0] += 1
+        self._ns = DeviceRenderer._NS_COUNTER[0]
         self._atlas_handles = set()
-        self.mixer = DeviceMixer(self, interpret=interpret,
-                                 transfer_lock=transfer_lock,
-                                 readback=readback)
+        if mixer is None:
+            # own mixer/atlas: wave handles and unit serials are
+            # engine-local, no namespacing needed
+            self._pair_atlas = PairAtlas()
+            self.mixer = DeviceMixer(self, interpret=interpret,
+                                     transfer_lock=transfer_lock,
+                                     readback=readback)
+            self._shared = False
+        else:
+            # SHARED mixer (serve.render_multiplexed): one jit
+            # signature and one device atlas for the whole fleet;
+            # atlas keys and device ring state are namespaced per
+            # stream
+            self.mixer = mixer
+            self._pair_atlas = mixer.core._pair_atlas
+            self._shared = True
         self.fell_back = False
         self.bridged_frames = 0  # rendered natively during warmup
         self._calls = []         # replayed on native fallback
@@ -128,15 +144,31 @@ class DeviceRenderer:
         self._calls.append(("send", voice, ep) + args)
         return self.nr.send(voice, ep, *args)
 
+    def _tag_prog(self, prog):
+        """Namespaces per-unit device state ids when sharing a mixer
+        across engines (serve.render_multiplexed): unit serial
+        counters are engine-local, so fbdelay rings / filter state of
+        different streams must not alias."""
+        if self._shared:
+            for fd in prog.fbdelays:
+                if not isinstance(fd["unit_id"], tuple):
+                    fd["unit_id"] = (self._ns, fd["unit_id"])
+            for fl in prog.filters:
+                fl["serials"] = [x if isinstance(x, tuple)
+                                 else (self._ns, x)
+                                 for x in fl["serials"]]
+        return prog
+
     # ---- wave atlas keyed by native wave handle ----
 
     def atlas_entry(self, handle, mip):
-        if handle not in self._atlas_handles:
+        key = (self._ns, handle) if self._shared else handle
+        if key not in self._atlas_handles:
             hi = self.i.state.ss.hm.get(handle)
-            self._pair_atlas.add_wave(handle, hi.data)
-            self._atlas_handles.add(handle)
+            self._pair_atlas.add_wave(key, hi.data)
+            self._atlas_handles.add(key)
             self._pair_atlas.finalize()
-        return self._pair_atlas.lookup(handle, mip)
+        return self._pair_atlas.lookup(key, mip)
 
     # ---- rendering ----
 
@@ -179,6 +211,7 @@ class DeviceRenderer:
         prog = program_from_native(rows, stages, stash, nfrag, sizes,
                                    self.atlas_entry,
                                    self.master_channels)
+        self._tag_prog(prog)
         bufs = self.mixer.run(prog)
         self._rendered += frames
         return np.stack(bufs)
@@ -202,6 +235,7 @@ class DeviceRenderer:
                 prog = program_from_native(
                     rows, stages, stash, nfrag, [64] * nfrag,
                     self.atlas_entry, self.master_channels)
+                self._tag_prog(prog)
                 self.mixer.observe(prog)
                 n += bufsize
         except Exception:
@@ -278,6 +312,7 @@ class DeviceRenderer:
                     rec_out = program_from_native(
                         rows, stages, stash, nfrag, sizes,
                         self.atlas_entry, self.master_channels)
+                    self._tag_prog(rec_out)
                     n += frames
             elif n < total_frames and rec_out is None \
                     and disp is None and pending is None \

@@ -102,3 +102,142 @@ def render_many(jobs, bufsize=None, serialize_transfers=True,
         if j.error is not None:
             raise j.error
     return jobs
+
+
+class _SharedCore:
+    """Atlas owner for a fleet-shared DeviceMixer."""
+
+    def __init__(self):
+        from .tpu.osc_kernel import PairAtlas
+        self._pair_atlas = PairAtlas()
+
+
+def render_multiplexed(jobs, bufsize=None, readback="exact",
+                       interpret=None, profile=True):
+    """Time-division-multiplexed serving: ONE scheduler drives all
+    streams through ONE shared DeviceMixer, rotating per superblock —
+    record stream A's next superblock while the chip computes B's and
+    C's readback is in flight.
+
+    This is the serving mode for deployments where the TPU link
+    serializes everything anyway (this relay; also typical gRPC
+    attachments): thread-concurrent streams (render_many) just fight
+    over the link and the GIL, while the multiplexer keeps exactly
+    one upload, one compute and one readback in flight and reaches
+    the solo pipeline's throughput as fleet AGGREGATE.  The shared
+    mixer unions every stream's shapes, so the whole fleet costs ONE
+    jit compile; per-stream device state (fbdelay rings, filter
+    state) and atlas entries are namespaced.
+
+    Per-stream output is bit-exact with a solo render; a stream whose
+    record/dispatch/fetch fails is bridged to the native path at its
+    emitted frontier, sample-exactly, without disturbing the others.
+    """
+    from collections import deque
+    from .tpu.superblock import DeviceMixer, program_from_native
+
+    core = _SharedCore()
+    mixer = DeviceMixer(core, interpret=interpret, readback=readback)
+    if bufsize is None:
+        bufsize = 1376 * 64
+    bufsize -= bufsize % 64 or 0
+
+    class _S:
+        def __init__(self, j):
+            self.j = j
+            self.r = DeviceRenderer(j.interface, channels=j.channels,
+                                    mixer=mixer)
+            self.r.timestamp_reset()
+            self.r.start(0, j.program, *j.args)
+            j.renderer = self.r
+            self.recorded = 0
+            self.emitted = 0
+            self.chunks = [] if j.sink is None else None
+            self.native = False
+
+        def emit(self, bufs):
+            frames = len(bufs[0])
+            keep = min(frames, self.j.frames - self.emitted)
+            if keep <= 0:
+                return
+            if keep < frames:
+                bufs = [b[:keep] for b in bufs]
+            self.emitted += keep
+            if self.j.sink is not None:
+                self.j.sink(bufs, keep)
+            else:
+                self.chunks.append(np.stack(bufs))
+
+        def bridge(self, why):
+            """Sample-exact native continuation from the emitted
+            frontier (drops this stream's in-flight superblocks)."""
+            import sys
+            print("a2 serve: stream bridging natively: %r" % (why,),
+                  file=sys.stderr)
+            self.native = True
+            self.r._fallback(self.emitted, 0)
+            n = self.emitted
+            while n < self.j.frames:
+                frames = min(bufsize, self.j.frames - n)
+                self.emit(list(self.r.nr.run(frames)))
+                n += frames
+            self.recorded = self.j.frames
+
+        def finish(self):
+            if self.j.sink is None and self.chunks:
+                self.j.output = np.concatenate(self.chunks, axis=1)
+
+    streams = [_S(j) for j in jobs]
+    # one kernel warmup for the fleet
+    streams[0].r.wait_device()
+    if profile:
+        for s in streams:
+            s.r._profile(s.j.frames, bufsize)
+
+    inflight = deque()
+    DEPTH = 2
+    rot = 0
+
+    def drain_one():
+        s2, h = inflight.popleft()
+        try:
+            out = s2.r.mixer.fetch(h)
+        except BaseException as e:
+            # drop this stream's remaining in-flight work; others
+            # keep theirs
+            for k in range(len(inflight) - 1, -1, -1):
+                if inflight[k][0] is s2:
+                    del inflight[k]
+            s2.bridge(e)
+            return
+        s2.emit(out)
+
+    while True:
+        active = [s for s in streams
+                  if not s.native and s.recorded < s.j.frames]
+        if not active and not inflight:
+            break
+        if active:
+            s = active[rot % len(active)]
+            rot += 1
+            try:
+                rows, stages, stash, nfrag = s.r.nr.record(bufsize)
+                prog = program_from_native(
+                    rows, stages, stash, nfrag, [64] * nfrag,
+                    s.r.atlas_entry, s.r.master_channels)
+                s.r._tag_prog(prog)
+                h = mixer.dispatch(prog)
+            except BaseException as e:
+                for k in range(len(inflight) - 1, -1, -1):
+                    if inflight[k][0] is s:
+                        s2, h2 = inflight[k]
+                        del inflight[k]
+                s.bridge(e)
+                continue
+            s.recorded += bufsize
+            inflight.append((s, h))
+        if len(inflight) >= DEPTH or (not active and inflight):
+            drain_one()
+    for s in streams:
+        s.finish()
+    return jobs

@@ -1046,6 +1046,8 @@ def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
     ramper/pitch requantization (verified fragment-by-fragment by the
     record pass)."""
     Rtot = sum(NB * OK.RPB for _, NB in class_sig)
+    if _os.environ.get("A2_COMPUTE_PROBE") == "noexpand":
+        return slots
     rm = runmat
     start = rm[:, RC_START]
     alive_run = (rm[:, RC_LEN] > 0).astype(jnp.int32)
@@ -1163,6 +1165,11 @@ def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
     ch0s = jnp.where(valid, ch0, 0)
     ch1s = jnp.where(valid, ch1, 0)
     audio = jnp.stack([ch0s, ch1s], axis=1).astype(jnp.int32)
+    probe = _os.environ.get("A2_COMPUTE_PROBE")
+    if probe == "noscatter":        # perf diagnosis only
+        return slots.at[0].add(audio.sum(axis=0))
+    if probe == "nokernel":
+        return slots
     return slots.at[slot_r.astype(jnp.int64)].add(audio)
 
 
@@ -1711,6 +1718,26 @@ class DeviceMixer:
                     rm[:NrR] = prog.rampmat
                     prog.rampmat = rm
                 prog.has_ramp = True
+        if prog.runmat is None and hw.get("runs", 0):
+            # a superblock (or stream, under a fleet-shared mixer)
+            # with no oscillator rows must still match the unioned
+            # signature: dead runmat + high-water class blocks
+            blocks = []
+            base = 0
+            for cls in OK.PASS_CLASSES:
+                NBp = hw.get(("cls", cls), 0)
+                blocks.append((cls, NBp, np.zeros(NBp, np.int32)))
+                base += NBp * OK.RPB
+            prog.class_blocks = blocks
+            prog.Rtot = base
+            m = np.zeros((hw["runs"], BASE_N), np.int32)
+            m[:, RC_START] = base
+            m[:, RC_RIDX] = -1
+            prog.runmat = m
+            if hw.get("rampruns", 0):
+                prog.rampmat = np.zeros((hw["rampruns"], RR_N),
+                                        np.int32)
+                prog.has_ramp = True
         if prog.stash_audio is not None or hw.get("stash", 0):
             NS = prog.stash_audio.shape[0] \
                 if prog.stash_audio is not None else 0
@@ -1815,14 +1842,21 @@ class DeviceMixer:
             if getattr(prog, "stash_mono", None) is not None else 0
         items = []
         for st in prog.stages:
-            items.append(("stage", st["key"], st["arr"].shape[0]))
+            items.append(("stage", st["key"], st["arr"].shape[0],
+                          ""))
         for fd in prog.fbdelays:
             items.append(("fbd", fd["key"],
                           (fd["arr"].shape[0], fd["stereoin"],
-                           fd["stereoout"], fd["add"], fd["chunk"])))
+                           fd["stereoout"], fd["add"], fd["chunk"]),
+                          str(fd["unit_id"])))
         for fl in prog.filters:
-            items.append(("filt", fl["key"], fl["arr"].shape[:2]))
-        items.sort(key=lambda t: t[1])
+            items.append(("filt", fl["key"], fl["arr"].shape[:2],
+                          ""))
+        # unit_id tiebreak: several fbdelay instances can share a
+        # (-nest, chain) key; the execution order must be
+        # deterministic across streams of a fleet-shared mixer
+        items.sort(key=lambda t: (t[1], t[3]))
+        items = [t[:3] for t in items]
         return (prog.F, prog.ninst, prog.master_inst,
                 prog.master_channels, rows, rpad, ns, nsm,
                 ramppad if prog.has_ramp else 0, self.readback,
@@ -1942,14 +1976,17 @@ class DeviceMixer:
             stash_mono = stash_mono_slot = jnp.zeros((0,), jnp.int32)
 
         # assemble per-item arrays in sorted (execution) order
+        # (same key+tiebreak as _signature)
         items = []
         for st in prog.stages:
-            items.append(("stage", st["key"], st))
+            items.append(("stage", st["key"], st, ""))
         for fd in prog.fbdelays:
-            items.append(("fbd", fd["key"], fd))
+            items.append(("fbd", fd["key"], fd,
+                          str(fd["unit_id"])))
         for fl in prog.filters:
-            items.append(("filt", fl["key"], fl))
-        items.sort(key=lambda t: t[1])
+            items.append(("filt", fl["key"], fl, ""))
+        items.sort(key=lambda t: (t[1], t[3]))
+        items = [t[:3] for t in items]
         stage_arrs = []
         fbd_arrs = []
         fbd_rings = []

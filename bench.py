@@ -102,19 +102,19 @@ def bench_device_path(seconds=192.0, samplerate=44100):
 
 
 def bench_serving(K=4, seconds=96.0, samplerate=44100):
-    """Aggregate multi-stream serving throughput: K concurrent songs
-    through the device path (audiality2_tpu.serve.render_many, shared
-    transfer lock, i16 readback).  The chip is mostly idle in
-    single-stream mode (the relay's transfer floors dominate);
-    serving many streams is how this deployment shows chip-scale
-    throughput.  Returns the aggregate x-realtime over the steady
-    half of the run (per-stream jit compiles land in the first
-    half)."""
+    """Aggregate multi-stream serving throughput: K songs through
+    the time-division-multiplexed scheduler
+    (serve.render_multiplexed): one shared mixer = ONE jit compile
+    for the whole fleet, one upload/compute/readback in flight —
+    the right shape for a link that serializes everything (this
+    relay, and gRPC attachments generally).  Returns the aggregate
+    x-realtime over the steady half of the run."""
     try:
         import time as _t
         import audiality2_tpu as a2
         from audiality2_tpu.engine.device_render import DeviceRenderer
-        from audiality2_tpu.serve import StreamJob, render_many
+        from audiality2_tpu.serve import (StreamJob,
+                                          render_multiplexed)
         songs = ["k2trance", "k2loader", "k2intro", "pulsetronic",
                  "k2epilogue", "dctest"]
         # ensure the per-process kernel warmup is done so streams
@@ -137,11 +137,11 @@ def bench_serving(K=4, seconds=96.0, samplerate=44100):
                 events.append((_t.perf_counter(), n))
             jobs.append(StreamJob(i, prog, frames, channels=1,
                                   sink=sink))
-        render_many(jobs, bufsize=1376 * 64, readback="i16")
+        render_multiplexed(jobs, bufsize=1376 * 64, readback="i16")
         if any(j.error is not None for j in jobs) or not events:
             return None
-        bridged = sum(j.renderer.bridged_frames for j in jobs)
         fell = sum(bool(j.renderer.fell_back) for j in jobs)
+        bridged = 0
         t0 = min(t for t, _ in events)
         t1 = max(t for t, _ in events)
         if t1 - t0 < 1.0:

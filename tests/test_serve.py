@@ -43,3 +43,20 @@ def test_render_many_sink_streaming():
     assert len(out) == 22528
     gold = np.fromfile(f"{GOLD}/dctest-5s-44100.raw", np.int32)
     assert (out == gold[:22528]).all()
+
+
+def test_render_multiplexed_bit_exact():
+    """Time-division-multiplexed fleet (shared mixer, ONE jit
+    signature for all streams): per-stream output must equal the solo
+    goldens; device state (rings, filter state) and atlas entries are
+    namespaced per stream."""
+    from audiality2_tpu.serve import render_multiplexed
+    songs = ["k2trance", "k2loader", "dctest"]
+    jobs = [_job(s, 1.0) for s in songs]
+    render_multiplexed(jobs, bufsize=31 * 64, interpret=True)
+    assert len(jobs[0].renderer.mixer._fns) == 1
+    for song, j in zip(songs, jobs):
+        assert not j.renderer.fell_back
+        gold = np.fromfile(f"{GOLD}/{song}-5s-44100.raw", np.int32)
+        m = j.frames - j.frames % 4096
+        assert (j.output[0][:m] == gold[:m]).all(), song
