@@ -96,6 +96,8 @@ class DeviceRenderer:
         self.nr = NativeRenderer(interface, channels=channels)
         self.samplerate = self.nr.samplerate
         self.master_channels = self.nr.master_channels
+        quality = {"hifi": 0, "normal": 1, "lofi": 2}[
+            getattr(interface.state.config, "quality", "hifi")]
         DeviceRenderer._NS_COUNTER[0] += 1
         self._ns = DeviceRenderer._NS_COUNTER[0]
         self._atlas_handles = set()
@@ -105,7 +107,8 @@ class DeviceRenderer:
             self._pair_atlas = PairAtlas()
             self.mixer = DeviceMixer(self, interpret=interpret,
                                      transfer_lock=transfer_lock,
-                                     readback=readback)
+                                     readback=readback,
+                                     quality=quality)
             self._shared = False
         else:
             # SHARED mixer (serve.render_multiplexed): one jit
@@ -115,6 +118,11 @@ class DeviceRenderer:
             self.mixer = mixer
             self._pair_atlas = mixer.core._pair_atlas
             self._shared = True
+            if mixer.quality != quality:
+                raise ValueError(
+                    "shared-mixer streams must share one wtosc "
+                    "quality (mixer %d, stream %d)"
+                    % (mixer.quality, quality))
         self.fell_back = False
         self.bridged_frames = 0  # rendered natively during warmup
         self._calls = []         # replayed on native fallback

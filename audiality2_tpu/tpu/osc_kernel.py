@@ -76,7 +76,7 @@ def _ta_rows(src, idx, interpret):
         mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
 
 
-def _make_kernel(npass, interpret=False):
+def _make_kernel(npass, interpret=False, quality=0):
     def kern(tbase_ref, param_ref, atlas_ref, out_ref):
         n = jax.lax.broadcasted_iota(jnp.int32, (FRAG, RPB), 0)
         P = param_ref[:]
@@ -140,8 +140,26 @@ def _make_kernel(npass, interpret=False):
             a = ((a + b) * x) >> 15
             return d0 + (((a + c) * x) >> 15)
 
-        # A2_HIFI 2x oversampling (wtosc.c:29-33)
-        v = hermite(ph16) + hermite(ph16 + (dph16 >> 1))
+        def lerp16(ph):
+            # a2_Lerp16 (a2_dsp.h:58-61): one pair lookup per sample
+            # (the pair packs both interpolation endpoints), so the
+            # lofi kernel runs ~4x fewer lane shuffles than hermite
+            i = ph >> 8
+            x = ph & 0xFF
+            pa = lookup_pair(i)                 # (d[i], d[i+1])
+            d0 = (pa << 16) >> 16
+            d1 = pa >> 16
+            return (d0 * (256 - x) + d1 * x) >> 8
+
+        # interpolation quality (wtosc.c:27-46): 0 = A2_HIFI
+        # 2x-oversampled Hermite, 1 = default 2x lerp, 2 = A2_LOFI
+        # single lerp doubled
+        if quality == 0:
+            v = hermite(ph16) + hermite(ph16 + (dph16 >> 1))
+        elif quality == 1:
+            v = lerp16(ph16) + lerp16(ph16 + (dph16 >> 1))
+        else:
+            v = lerp16(ph16) << 1
 
         # (v * amp) >> 17, exact 3-limb decomposition
         amp = amp0 + n * damp
@@ -153,13 +171,17 @@ def _make_kernel(npass, interpret=False):
     return kern
 
 
-def _osc_call(npass, tbase, params, atlas_pairs, interpret=False):
+def _osc_call(npass, tbase, params, atlas_pairs, interpret=False,
+              quality=0):
     """One pass-class pallas call: params (NB*NPARAM, RPB) int32,
     tbase (NB,) int32 -> (FRAG, NB*RPB) int32 oscillator audio.
 
     interpret=True runs the kernel in the Pallas interpreter — used by
     the default (CPU) test suite so the device code path is exercised
-    on every pytest run."""
+    on every pytest run.  quality selects the interpolator
+    (0 hifi / 1 normal / 2 lofi, reference wtosc.c:27-46); lofi costs
+    one pair lookup per sample instead of hifi's four, lifting the
+    gather-bound kernel ceiling ~4x."""
     NB = params.shape[0] // NPARAM
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -171,7 +193,7 @@ def _osc_call(npass, tbase, params, atlas_pairs, interpret=False):
                                memory_space=pltpu.VMEM),
     )
     f = pl.pallas_call(
-        _make_kernel(npass, interpret), grid_spec=gs,
+        _make_kernel(npass, interpret, quality), grid_spec=gs,
         interpret=interpret,
         out_shape=jax.ShapeDtypeStruct((FRAG, NB * RPB), jnp.int32))
     # x64 mode makes Pallas' grid/index machinery trace as i64, which
@@ -315,7 +337,8 @@ def _i32(x):
     return int(np.int64(x).astype(np.int32))
 
 
-def evaluate_osc_batch(batch, device_atlas, interpret=False):
+def evaluate_osc_batch(batch, device_atlas, interpret=False,
+                       quality=0):
     """Evaluates an OscBatch on the TPU.  Returns int32[n, FRAG]
     oscillator audio in row order (numpy).  device_atlas: jnp array
     of batch.atlas.data."""
@@ -326,7 +349,7 @@ def evaluate_osc_batch(batch, device_atlas, interpret=False):
     for cls, tbase_arr, params, order in calls:
         res = _osc_call(cls, jnp.asarray(tbase_arr),
                         jnp.asarray(params), device_atlas,
-                        interpret=interpret)
+                        interpret=interpret, quality=quality)
         res = np.asarray(res)                 # (FRAG, NB*RPB)
         flat = order.reshape(-1)
         keep = flat >= 0
@@ -339,7 +362,7 @@ def evaluate_osc_batch(batch, device_atlas, interpret=False):
 # ---------------------------------------------------------------
 
 def osc_rows_numpy(atlas_pairs_flat, tbase, npass, pos0, f0, dpos, df,
-                   amp0, damp):
+                   amp0, damp, quality=0):
     """atlas_pairs_flat: int32[T*128]; all params int32 arrays[R]."""
     n = np.arange(FRAG, dtype=np.int64)[None, :]
     fr = f0[:, None].astype(np.int64) + n * df[:, None]
@@ -370,7 +393,21 @@ def osc_rows_numpy(atlas_pairs_flat, tbase, npass, pos0, f0, dpos, df,
             a = i32(i32(a + b) * i32(x)) >> 15
             return i32(d0 + (i32(i32(a + c) * i32(x)) >> 15))
 
-    v = herm(ph16).astype(np.int64) \
-        + herm(ph16 + (dph16[:, None] >> 1)).astype(np.int64)
+    def lrp(ph):
+        i = ph >> 8
+        x = (ph & 0xFF).astype(np.int64)
+        pa = lookup(i)
+        d0 = (pa.astype(np.int32) << 16) >> 16
+        d1 = pa.astype(np.int32) >> 16
+        return ((d0 * (256 - x) + d1 * x) >> 8).astype(np.int32)
+
+    if quality == 0:
+        v = herm(ph16).astype(np.int64) \
+            + herm(ph16 + (dph16[:, None] >> 1)).astype(np.int64)
+    elif quality == 1:
+        v = lrp(ph16).astype(np.int64) \
+            + lrp(ph16 + (dph16[:, None] >> 1)).astype(np.int64)
+    else:
+        v = lrp(ph16).astype(np.int64) << 1
     amp = amp0[:, None].astype(np.int64) + n * damp[:, None]
     return ((v * amp) >> 17).astype(np.int32)

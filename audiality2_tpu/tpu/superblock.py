@@ -1028,7 +1028,8 @@ def _ramp_scan(rmp, base):
 
 
 def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
-                 rampmat, dead_slot, interpret, has_ramp=False):
+                 rampmat, dead_slot, interpret, has_ramp=False,
+                 quality=0):
     """Expands oscillator runs into per-fragment kernel rows ON THE
     DEVICE, evaluates them with the pallas kernel and scatter-adds
     the panmixed audio into the slots.
@@ -1118,7 +1119,8 @@ def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
         par = jnp.stack(
             [x[b0:b0 + P].reshape(NB, OK.RPB) for x in fields],
             axis=1).reshape(NB * OK.NPARAM, OK.RPB)
-        res = OK._osc_call(cls, tb, par, atlas, interpret=interpret)
+        res = OK._osc_call(cls, tb, par, atlas, interpret=interpret,
+                           quality=quality)
         outs.append(res.T)                      # (P, 64)
         b0 += P
     osc = jnp.concatenate(outs, axis=0)         # [Rtot, FRAG]
@@ -1578,8 +1580,14 @@ class DeviceMixer:
     superblocks)."""
 
     def __init__(self, core, interpret=None, transfer_lock=None,
-                 readback="exact"):
+                 readback="exact", quality=0):
         self.core = core
+        # wtosc interpolation quality (0 hifi / 1 normal / 2 lofi,
+        # reference wtosc.c:27-46).  A per-mixer static: lofi's
+        # single-lookup lerp runs the gather-bound oscillator kernel
+        # ~4x faster than hifi's 2x-oversampled Hermite.  Streams of
+        # a fleet-shared mixer must agree (DeviceRenderer asserts).
+        self.quality = quality
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         self.interpret = interpret
@@ -1860,11 +1868,11 @@ class DeviceMixer:
         return (prog.F, prog.ninst, prog.master_inst,
                 prog.master_channels, rows, rpad, ns, nsm,
                 ramppad if prog.has_ramp else 0, self.readback,
-                tuple(items))
+                self.quality, tuple(items))
 
     def _build_fn(self, prog, sig):
         (F, ninst, minst, mch, rows_sig, rpad, ns, nsm, ramppad,
-         readback, items) = sig
+         readback, quality, items) = sig
         interpret = self.interpret
         exec_items = list(items)
         Rtot = sum(NB * OK.RPB for _, NB in rows_sig)
@@ -1878,7 +1886,7 @@ class DeviceMixer:
                 slots = _expand_rows(slots, atlas, rows_sig,
                                      tbase_devs, runmat, rampmat,
                                      ninst * F, interpret,
-                                     ramppad > 0)
+                                     ramppad > 0, quality)
             if ns:
                 slots = slots.at[stash_slot].add(stash_audio)
             if nsm:

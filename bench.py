@@ -158,9 +158,12 @@ def bench_serving(K=4, seconds=96.0, samplerate=44100):
         return None
 
 
-def bench_osc_kernel(R=16384, samplerate=44100):
-    """Pallas oscillator kernel ceiling: exact-integer HIFI wtosc
+def bench_osc_kernel(R=16384, samplerate=44100, quality=0):
+    """Pallas oscillator kernel ceiling: exact-integer wtosc
     voice-samples/s at the worst-case pass count (mip-0 tables).
+    quality 0 = HIFI 2x Hermite (4 pair lookups/sample); quality 2 =
+    LOFI single lerp (1 lookup/sample) — the production low-latency
+    tier, ~4x fewer lane shuffles on the gather-bound kernel.
     A kernel metric, not engine throughput."""
     try:
         import time as _t
@@ -187,7 +190,8 @@ def bench_osc_kernel(R=16384, samplerate=44100):
         # all R rows land in one pass class here (one wave, mip 0)
         cls, t, p, _ = max(calls, key=lambda c: c[1].shape[0])
         tj, pj = jnp.asarray(t), jnp.asarray(p)
-        fn = jax.jit(lambda t_, p_: OK._osc_call(cls, t_, p_, dev))
+        fn = jax.jit(lambda t_, p_: OK._osc_call(cls, t_, p_, dev,
+                                                 quality=quality))
         fn(tj, pj).block_until_ready()
         t0 = _t.perf_counter()
         reps = 10
@@ -215,6 +219,7 @@ def main():
     dev_total, dev_steady, warm_s = bench_device_path()
     serving = bench_serving()
     osc = bench_osc_kernel()
+    osc_lofi = bench_osc_kernel(quality=2)
     result = {
         "metric": "k2trance_offline_render",
         "value": round(xrt, 3),
@@ -234,6 +239,8 @@ def main():
         result["tpu_serving_aggregate_xrt"] = round(serving, 2)
     if osc is not None:
         result["tpu_osc_kernel_msamples_s"] = int(osc / 1e6)
+    if osc_lofi is not None:
+        result["tpu_osc_kernel_lofi_msamples_s"] = int(osc_lofi / 1e6)
     print(json.dumps(result))
 
 

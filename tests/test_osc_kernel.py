@@ -109,3 +109,42 @@ def test_pallas_matches_twin(waves):
     want = OK.osc_rows_numpy(patlas.np_pairs, tbase, npass, pos0, f0,
                              dpos, df, amp0, damp)
     assert (got == want).all()
+
+
+@pytest.mark.parametrize("quality", [1, 2])
+def test_pallas_quality_matches_native(waves, quality):
+    """lerp kernels (normal=2x lerp, lofi=single lerp doubled) vs a
+    direct scalar port of the native interpolators
+    (native/a2rt_units.inc lerp16, reference wtosc.c:37-46)."""
+    atlas, patlas, rows = _make_rows(waves, n_per=16, seed=2)
+    batch = OK.OscBatch(patlas)
+    for name, mm, base, tbase, npass, off, ph0, dph, amp0, damp in rows:
+        batch.add(tbase, npass, off, ph0, dph, amp0, damp)
+    interpret = jax.default_backend() != "tpu"
+    dev_atlas = jnp.asarray(patlas.data)
+    got = OK.evaluate_osc_batch(batch, dev_atlas, interpret=interpret,
+                                quality=quality)
+
+    # scalar reference
+    i16 = atlas.data.astype(np.int64)      # flat padded sample data
+
+    def lerp16(base, ph):
+        i = int(ph >> 8)
+        x = int(ph & 0xFF)
+        return (int(i16[base + i]) * (256 - x)
+                + int(i16[base + i + 1]) * x) >> 8
+
+    for ri, (name, mm, base, tbase, npass, off, ph0, dph, amp0,
+             damp) in enumerate(rows):
+        for n in (0, 1, 31, 63):
+            ph = ph0 + n * dph
+            ph16 = ph >> 16
+            dph16 = dph >> 16
+            if quality == 1:
+                v = lerp16(base, ph16) \
+                    + lerp16(base, ph16 + (dph16 >> 1))
+            else:
+                v = lerp16(base, ph16) << 1
+            amp = np.int32(np.int64(amp0) + n * damp)
+            want = np.int32((v * np.int64(amp)) >> 17)
+            assert got[ri, n] == want, (ri, n, quality)

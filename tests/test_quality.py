@@ -58,6 +58,43 @@ def test_quality_host_golden(quality):
     assert (mine == g).all()
 
 
+@pytest.mark.parametrize("quality", ["normal", "lofi"])
+def test_quality_device_golden(quality):
+    # the device path's lerp kernels (tpu/osc_kernel.py _make_kernel
+    # quality 1/2): deferred rows render with the engine's configured
+    # interpolator, bit-exact vs the reference quality goldens
+    from audiality2_tpu.engine.device_render import DeviceRenderer
+    i = a2.open_engine(44100, 4096, 1, batched=False,
+                       quality=quality)
+    h = i.get(i.load(f"{BENCH}/k2trance.a2s"), "Song")
+    r = DeviceRenderer(i, channels=1)
+    r.timestamp_reset()
+    r.start(0, h)
+    out = []
+    n = 0
+    while n < int(2.0 * 44100):
+        out.append(r.run(4096))
+        n += 4096
+    fb = r.fell_back
+    r.close()
+    mine = np.concatenate(out, axis=1)[0]
+    g = np.fromfile(f"{GOLD}/k2trance-5s-44100-{quality}.raw",
+                    np.int32)[:len(mine)]
+    assert not fb
+    assert (mine == g).all()
+
+
+def test_quality_shared_mixer_mismatch_rejected():
+    from audiality2_tpu.engine.device_render import DeviceRenderer
+    from audiality2_tpu.serve import _SharedCore
+    from audiality2_tpu.tpu.superblock import DeviceMixer
+    core = _SharedCore()
+    mixer = DeviceMixer(core, interpret=True, quality=0)
+    i = a2.open_engine(44100, 4096, 1, batched=False, quality="lofi")
+    with pytest.raises(ValueError):
+        DeviceRenderer(i, channels=1, mixer=mixer)
+
+
 def test_quality_modes_differ():
     outs = {}
     for q in ("hifi", "normal", "lofi"):
