@@ -156,7 +156,12 @@ class DeviceRenderer:
         """Namespaces per-unit device state ids when sharing a mixer
         across engines (serve.render_multiplexed): unit serial
         counters are engine-local, so fbdelay rings / filter state of
-        different streams must not alias."""
+        different streams must not alias.  prog.ns keys the mixer's
+        per-stream shape high-water marks: each stream pads to ITS
+        OWN profiled sizes (an fm-dense stream's stash volume must
+        not inflate every other stream's uploads); streams with equal
+        shapes still share one compiled fn."""
+        prog.ns = self._ns if self._shared else 0
         if self._shared:
             for fd in prog.fbdelays:
                 if not isinstance(fd["unit_id"], tuple):

@@ -1609,14 +1609,17 @@ class DeviceMixer:
         self._atlas_ver = -1
         self._rings = {}         # unit_id -> [jnp (2, SIZE) int32, pos]
         self._fns = {}           # signature -> jitted fn
-        self._hw = {}            # high-water marks for _repad
-        # profiled structure union (observe()): when non-empty,
-        # _repad inserts dead entries for absent stages/fbdelays so
-        # every superblock of a profiled song shares ONE signature —
-        # and thus ONE jit compile
-        self._union_stages = {}  # stage key -> template
-        self._union_fbd = {}     # unit_id -> template dict
-        self._union_filters = {}  # filter class key -> {S, K}
+        # per-namespace mixer state (prog.ns; 0 for solo renders).
+        # A fleet-shared mixer keys shape high-water marks and the
+        # profiled structure union PER STREAM: every stream pads to
+        # its own profiled sizes (one fm-dense stream must not
+        # inflate the whole fleet's uploads), while streams whose
+        # shapes agree still share one compiled fn (the signature
+        # carries shapes, not namespaces).
+        self._hw = {}            # ns -> {key -> high-water}
+        self._union_stages = {}  # ns -> {stage key -> template}
+        self._union_fbd = {}     # ns -> {unit_id -> template dict}
+        self._union_filters = {}  # ns -> {filter class key -> {S,K}}
         self._fine = False       # exact-fit padding (observe())
 
     def observe(self, prog):
@@ -1630,15 +1633,19 @@ class DeviceMixer:
         the pow2 padding's up-to-2x upload/compute waste."""
         self._fine = True
         self._repad(prog)
+        ns = getattr(prog, "ns", 0)
+        ust = self._union_stages.setdefault(ns, {})
+        ufb = self._union_fbd.setdefault(ns, {})
+        ufl = self._union_filters.setdefault(ns, {})
         for st in prog.stages:
-            self._union_stages[st["key"]] = st["arr"].shape[0]
+            ust[st["key"]] = st["arr"].shape[0]
         for fd in prog.fbdelays:
-            self._union_fbd[fd["unit_id"]] = {
+            ufb[fd["unit_id"]] = {
                 "key": fd["key"], "stereoin": fd["stereoin"],
                 "stereoout": fd["stereoout"], "add": fd["add"],
                 "chunk": fd["chunk"], "ns": fd["arr"].shape[0]}
         for fl in prog.filters:
-            self._union_filters[fl["key"]] = {
+            ufl[fl["key"]] = {
                 "S": fl["arr"].shape[0], "K": fl["arr"].shape[1]}
 
     def _atlas(self):
@@ -1659,7 +1666,8 @@ class DeviceMixer:
         """Pads every variable-size array up to its high-water mark so
         steady-state superblocks reuse compiled signatures instead of
         recompiling on every pow2 crossing."""
-        hw = self._hw
+        ns = getattr(prog, "ns", 0)
+        hw = self._hw.setdefault(ns, {})
 
         def grow(key, n):
             m = max(hw.get(key, 0), n)
@@ -1800,9 +1808,12 @@ class DeviceMixer:
         # profiled structure union: emit dead entries for stages /
         # fbdelay instances absent from this superblock so the jit
         # signature matches every other superblock of the song
-        if self._union_stages:
+        ust = self._union_stages.get(ns) or {}
+        ufb = self._union_fbd.get(ns) or {}
+        ufl = self._union_filters.get(ns) or {}
+        if ust:
             have = {st["key"] for st in prog.stages}
-            for key, K in self._union_stages.items():
+            for key, K in ust.items():
                 if key in have:
                     continue
                 K = max(K, hw.get(("st",) + key, K))
@@ -1811,9 +1822,9 @@ class DeviceMixer:
                 arr[:, 1] = dead
                 prog.stages.append({"kind": key[2], "key": key,
                                     "arr": arr, "n": 0})
-        if self._union_fbd:
+        if ufb:
             have = {fd["unit_id"] for fd in prog.fbdelays}
-            for uid, t in self._union_fbd.items():
+            for uid, t in ufb.items():
                 if uid in have:
                     continue
                 ns = max(t["ns"], hw.get(("fbd", uid, t["chunk"]),
@@ -1826,9 +1837,9 @@ class DeviceMixer:
                     "stereoout": t["stereoout"], "add": t["add"],
                     "arr": np.zeros((ns, 13), np.int32), "n": 0,
                     "chunk": t["chunk"]})
-        if self._union_filters:
+        if ufl:
             have = {fl["key"] for fl in prog.filters}
-            for key, t in self._union_filters.items():
+            for key, t in ufl.items():
                 if key in have:
                     continue
                 Sp = max(t["S"], hw.get(("flS",) + key, 0))

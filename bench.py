@@ -190,13 +190,24 @@ def bench_osc_kernel(R=16384, samplerate=44100, quality=0):
         # all R rows land in one pass class here (one wave, mip 0)
         cls, t, p, _ = max(calls, key=lambda c: c[1].shape[0])
         tj, pj = jnp.asarray(t), jnp.asarray(p)
-        fn = jax.jit(lambda t_, p_: OK._osc_call(cls, t_, p_, dev,
-                                                 quality=quality))
-        fn(tj, pj).block_until_ready()
+
+        # the relay content-caches results for identical inputs, so
+        # every rep must compute fresh data: a per-rep scalar seed
+        # perturbs the amp-0 param rows ON DEVICE (phase rows stay
+        # put, so table lookups remain in range) — the whole kernel
+        # re-runs, while the h2d cost of the perturbation is 4 bytes
+        def run(t_, p_, s_):
+            rowk = jnp.arange(p_.shape[0], dtype=jnp.int32) \
+                % OK.NPARAM
+            p_ = jnp.where((rowk == OK.P_AMP0)[:, None], p_ + s_, p_)
+            return OK._osc_call(cls, t_, p_, dev, quality=quality)
+
+        fn = jax.jit(run)
+        fn(tj, pj, jnp.int32(0)).block_until_ready()
         t0 = _t.perf_counter()
         reps = 10
-        for _ in range(reps):
-            o = fn(tj, pj)
+        for k in range(reps):
+            o = fn(tj, pj, jnp.int32(k + 1))
         o.block_until_ready()
         dt = (_t.perf_counter() - t0) / reps
         return R * 64 / dt

@@ -46,15 +46,17 @@ def test_render_many_sink_streaming():
 
 
 def test_render_multiplexed_bit_exact():
-    """Time-division-multiplexed fleet (shared mixer, ONE jit
-    signature for all streams): per-stream output must equal the solo
-    goldens; device state (rings, filter state) and atlas entries are
-    namespaced per stream."""
+    """Time-division-multiplexed fleet (shared mixer): per-stream
+    output must equal the solo goldens; device state (rings, filter
+    state), atlas entries and shape high-water marks are namespaced
+    per stream — each stream compiles at most ONE signature sized to
+    its own content (a fat fm stream must not inflate the others'
+    uploads), and all dispatches share one transfer in flight."""
     from audiality2_tpu.serve import render_multiplexed
     songs = ["k2trance", "k2loader", "dctest"]
     jobs = [_job(s, 1.0) for s in songs]
     render_multiplexed(jobs, bufsize=31 * 64, interpret=True)
-    assert len(jobs[0].renderer.mixer._fns) == 1
+    assert len(jobs[0].renderer.mixer._fns) <= len(songs)
     for song, j in zip(songs, jobs):
         assert not j.renderer.fell_back
         gold = np.fromfile(f"{GOLD}/{song}-5s-44100.raw", np.int32)
