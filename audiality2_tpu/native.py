@@ -78,7 +78,7 @@ def load_lib():
 
 
 # field layouts of the native record buffers (native/a2rt_record.inc)
-ROW_FIELDS = 31
+ROW_FIELDS = 33
 STAGE_FIELDS = 23
 STASH_HDR = 5
 STASH_STRIDE = STASH_HDR + 2 * 64

@@ -162,6 +162,16 @@ class SuperblockProgram:
 _ROW_HASPM = 1
 _ROW_STEREO = 2
 _ROW_CLAMP = 4
+# noise row (native a2rt_record.inc RM_NOISE): the run is a pitched
+# S&H LCG oscillator (reference wtosc.c:129-152); RC_SIZE carries the
+# global RNG state and RC_POSOFF the held sample at the run's first
+# real sample.  Noise runs live in pseudo pass class 0 (no wavetable)
+# and are expanded as closed-form crossing counts + an LCG log-jump.
+_ROW_NOISE = 8
+
+# run pass classes: the pallas classes plus the table-less noise
+# class 0, which _expand_rows computes directly on the VPU
+ALL_CLASSES = (0,) + OK.PASS_CLASSES
 
 # run-matrix columns (SuperblockProgram.runmat).  START is the run's
 # first expanded-row index in the concatenated class row space; dead
@@ -216,7 +226,7 @@ def _build_runs(prog, cls_arr, tbase, posoff, ph_hi, ph_lo, dph,
         prog.runmat = np.zeros((0, BASE_N), np.int32)
         prog.rampmat = np.zeros((0, RC_N), np.int32)
         prog.class_blocks = [(c, 0, np.zeros(0, np.int32))
-                             for c in OK.PASS_CLASSES]
+                             for c in ALL_CLASSES]
         prog.Rtot = 0
         prog.has_ramp = False
         return
@@ -238,7 +248,7 @@ def _build_runs(prog, cls_arr, tbase, posoff, ph_hi, ph_lo, dph,
     class_blocks = []
     bucket_base = np.zeros(len(bstart), np.int64)
     base = 0
-    for c in OK.PASS_CLASSES:
+    for c in ALL_CLASSES:
         sel = np.nonzero(bcls == c)[0]
         crows = int(bpad[sel].sum()) if len(sel) else 0
         NB = crows // OK.RPB
@@ -619,7 +629,8 @@ def compile_superblock(core, frags, oplists, rowbatch):
  RF_VOL0, RF_DVOL, RF_PAN0, RF_DPAN, RF_OWNER, RF_FRAG, RF_OFF,
  RF_TOTAL, RF_MODE, RF_LEN, RF_SIZE,
  RF_RAMP, RF_AT, RF_ATMR, RF_VT, RF_VTMR, RF_PT, RF_PTMR,
- RF_PV, RF_PTGT, RF_PTIMER, RF_PRAMP, RF_DPHRAW, RF_PERIOD) = range(31)
+ RF_PV, RF_PTGT, RF_PTIMER, RF_PRAMP, RF_DPHRAW, RF_PERIOD,
+ RF_NS0, RF_NLAST) = range(33)
 (SF_KIND, SF_NEST, SF_CHAIN, SF_NI, SF_NO, SF_ADD, SF_SCH, SF_DCH,
  SF_SRC0, SF_SRC1, SF_DST0, SF_DST1, SF_FRAG, SF_OFF, SF_FRM,
  SF_P0, SF_P1, SF_P2, SF_P3, SF_P4, SF_P5, SF_P6, SF_SERIAL) = range(23)
@@ -667,19 +678,30 @@ def program_from_native(rows, stages, stash, F, frag_sizes,
     # ----- oscillator runs -----
     R = len(rows)
     if R:
-        wm = rows[:, RF_WAVE].astype(np.int64) * 16 + rows[:, RF_MIP]
-        uw = np.unique(wm)
-        tb_l = np.zeros(int(uw.max()) + 1, np.int32)
+        # noise runs (RF_WAVE == -1) have no wavetable: pseudo pass
+        # class 0, RNG state / held sample ride the SIZE / POSOFF
+        # columns (native a2rt_record.inc RM_NOISE)
+        noise = rows[:, RF_WAVE] < 0
+        wm = np.where(noise, 0,
+                      rows[:, RF_WAVE].astype(np.int64) * 16
+                      + rows[:, RF_MIP])
+        uw = np.unique(wm[~noise]) if (~noise).any() \
+            else np.zeros(0, np.int64)
+        tb_l = np.zeros(int(uw.max()) + 1 if len(uw) else 1, np.int32)
         np_l = np.zeros_like(tb_l)
         off_l = np.zeros_like(tb_l)
         for key in uw:
             t, n_, o_ = atlas_entry(int(key) // 16, int(key) % 16)
             tb_l[key], np_l[key], off_l[key] = t, n_, o_
-        tbase = tb_l[wm]
+        tbase = np.where(noise, 0, tb_l[wm]).astype(np.int32)
         npass = np_l[wm]
-        posoff = off_l[wm]
+        posoff = np.where(noise, rows[:, RF_NLAST],
+                          off_l[wm]).astype(np.int32)
         cls_idx = np.searchsorted(OK.PASS_CLASSES, npass)
         cls_arr = np.asarray(OK.PASS_CLASSES, np.int32)[cls_idx]
+        cls_arr = np.where(noise, 0, cls_arr).astype(np.int32)
+        modsize = np.where(noise, rows[:, RF_NS0],
+                           rows[:, RF_SIZE]).astype(np.int32)
         extra = np.empty((R, RC_N - RC_RAMP), np.int32)
         extra[:, 0] = rows[:, RF_RAMP]
         extra[:, 1] = rows[:, RF_MIP]
@@ -687,7 +709,7 @@ def program_from_native(rows, stages, stash, F, frag_sizes,
         _build_runs(
             prog, cls_arr, tbase, posoff,
             rows[:, RF_PH_HI], rows[:, RF_PH_LO], rows[:, RF_DPH],
-            rows[:, RF_SIZE], rows[:, RF_AMP0], rows[:, RF_DAMP],
+            modsize, rows[:, RF_AMP0], rows[:, RF_DAMP],
             rows[:, RF_VOL0], rows[:, RF_DVOL], rows[:, RF_PAN0],
             rows[:, RF_DPAN],
             slot(rows[:, RF_OWNER], rows[:, RF_FRAG])
@@ -953,6 +975,64 @@ def _p2i_vec(p):
     return dph >> sh
 
 
+def _nz_tab():
+    # noise LCG doubling-jump table (reference a2_dsp.h:37-42,
+    # native a2rt.cpp lcg_next: s = s*1566083941 + 1 mod 2^32):
+    # after 2^j steps, s -> A[j]*s + C[j]
+    A, C = 1566083941, 1
+    out = []
+    for _ in range(11):
+        out.append((A, C))
+        A, C = (A * A) & 0xFFFFFFFF, (A * C + C) & 0xFFFFFFFF
+    return out
+
+
+_NZ_TAB = _nz_tab()
+
+
+def _noise_audio(s0, last0, phr, dphu, offl, offr, kk, isramp, c0,
+                 amp0, damp):
+    """Noise-run rows: reproduces the reference's pitched S&H LCG
+    (wtosc.c:129-152, native a2rt_units.inc wtosc_process case 1)
+    with closed-form crossing counts and an LCG log-jump — fully
+    parallel across rows and samples.  The global draw ORDER is
+    exact: the record pass snapshots the shared RNG state per run and
+    breaks runs whenever another unit draws in between.
+
+    s0/last0: RNG state and held sample at the run's first real
+    sample; phr: fragment frame-0 phase (48:24, int64); dphu: phase
+    increment (uint32-valued int64); offl: this row's first valid
+    sample; offr: the run's starting sample; kk: the row's fragment
+    index in the run; isramp+c0: scan-replayed rows and their
+    accumulated draw counts.  Returns int32 [R, FRAG] audio."""
+    n = jnp.arange(FRAG, dtype=jnp.int64)[None, :]
+    hi = (dphu >= (1 << 23))[:, None]
+    # draws consumed after processing sample n, relative to run start
+    base23 = jnp.where(isramp, phr >> 23,
+                       (phr - (kk * FRAG - offr) * dphu) >> 23)
+    cons_lo = ((phr[:, None] + (n + 1) * dphu[:, None]) >> 23) \
+        - base23[:, None] + jnp.where(isramp, c0, 0)[:, None]
+    cons_hi = (n + 1 - offl[:, None]) \
+        + jnp.where(isramp, c0,
+                    kk * FRAG - offr + offl)[:, None]
+    cons = jnp.where(hi, cons_hi, cons_lo)
+    cons = jnp.clip(cons, 0, (1 << 11) - 1)
+    # s = jump(s0, cons): 11 doubling steps, uint32 wrap
+    s = jnp.broadcast_to(
+        jax.lax.bitcast_convert_type(s0.astype(jnp.int32),
+                                     jnp.uint32)[:, None],
+        cons.shape)
+    consu = cons.astype(jnp.uint32)
+    for j, (aj, cj) in enumerate(_NZ_TAB):
+        bit = ((consu >> j) & 1) != 0
+        s = jnp.where(bit, s * jnp.uint32(aj) + jnp.uint32(cj), s)
+    val = ((s * (s >> 16)) >> 16).astype(jnp.int32) - 32767
+    last = jnp.where(cons == 0, last0[:, None], val)
+    ampn = (amp0.astype(jnp.int64)[:, None]
+            + n * damp.astype(jnp.int64)[:, None]).astype(jnp.int32)
+    return (last * (ampn >> 10)) >> 6
+
+
 def _ramp_scan(rmp, base):
     """Replays the reference's per-fragment control recurrences for
     every run ON THE DEVICE: a2_PrepareRamper's integer-division
@@ -986,18 +1066,32 @@ def _ramp_scan(rmp, base):
     dphraw = rmp[:, RR_DPHRAW] & _M32
     period = rmp[:, RR_PERIOD] & _M32
     mip = rmp[:, RR_MIP]
-    msz = g[:, RC_SIZE] << 24
+    # noise runs carry the RNG state in RC_SIZE: no phase wrap
+    noise = (g[:, RC_MODE] & _ROW_NOISE) != 0
+    msz = jnp.where(noise, 0, g[:, RC_SIZE] << 24)
     safe_m = jnp.where(msz > 0, msz, 1)
-    ph = ((g[:, RC_PHHI] << 32) | (g[:, RC_PHLO] & _M32)) \
-        + n64 * g[:, RC_DPH]
+    dph0 = g[:, RC_DPH] & _M32
+    ph0 = (g[:, RC_PHHI] << 32) | (g[:, RC_PHLO] & _M32)
+    ph = ph0 + n64 * dph0
 
     # fragment k's frame count: 64 mid-run, the remaining tail for a
     # terminal (partial-fragment closing) merge.  prepare()'s branch
     # selection depends on it, so the replay must use the real count.
     span = g[:, RC_OFF] + g[:, RC_TOTAL]
 
+    # noise S&H draw counts (wtosc.c:129-152): draws consumed before
+    # fragment k, accumulated across the replay so the device can
+    # LCG-jump to each fragment's starting RNG state.  Fragment 0:
+    # samples [OFF, min(span, 64)).
+    off0 = g[:, RC_OFF]
+    end0 = jnp.clip(span, 0, FRAG)
+    dcnt = jnp.where(
+        dph0 >= (1 << 23), end0 - off0,
+        ((ph0 + end0 * dph0) >> 23) - ((ph0 + off0 * dph0) >> 23))
+
     def step(carry, k):
-        (av, at, vv, vt, pv, ptm, pcv, pct, pramp, dphraw, ph) = carry
+        (av, at, vv, vt, pv, ptm, pcv, pct, pramp, dphraw, ph,
+         dcnt) = carry
         fr = jnp.clip(span - (k << 6), 1, FRAG)
         av2, ad, at2 = _prepare_vec(av, atg, at, fr)
         vv2, vd, vt2 = _prepare_vec(vv, vtg, vt, fr)
@@ -1012,18 +1106,22 @@ def _ramp_scan(rmp, base):
         pramp2 = jnp.where(skip, pramp, pcd)
         dph = (dphraw2 * period) >> mip
         phm = jnp.where(msz > 0, ph % safe_m, ph)
-        out = (av2, ad, vv2, vd, pv2, pd, dph, phm)
+        out = (av2, ad, vv2, vd, pv2, pd, dph, phm, dcnt)
+        dk = jnp.where(dph >= (1 << 23), fr,
+                       ((phm + fr * dph) >> 23) - (phm >> 23))
         carry = (_w32(av2 + ad * fr), at2,
                  _w32(vv2 + vd * fr), vt2,
                  _w32(pv2 + pd * fr), ptm2,
-                 pcv3, pct2, pramp2, dphraw2, phm + fr * dph)
+                 pcv3, pct2, pramp2, dphraw2, phm + fr * dph,
+                 dcnt + dk)
         return carry, out
 
-    carry0 = (av, at, vv, vt, pv, ptm, pcv, pct, pramp, dphraw, ph)
+    carry0 = (av, at, vv, vt, pv, ptm, pcv, pct, pramp, dphraw, ph,
+              dcnt)
     _, outs = jax.lax.scan(step, carry0,
                            jnp.arange(1, RUN_KCHUNK, dtype=jnp.int64))
-    # one [K-1, NrR, 8] matrix so the expansion needs a single row
-    # gather instead of eight element gathers
+    # one [K-1, NrR, 9] matrix so the expansion needs a single row
+    # gather instead of nine element gathers
     return jnp.stack(outs, axis=-1)
 
 
@@ -1064,7 +1162,10 @@ def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
     ph = ((g[:, RC_PHHI].astype(jnp.int64) << 32)
           | (g[:, RC_PHLO].astype(jnp.int64) & 0xFFFFFFFF)) \
         + k64 * (dph.astype(jnp.int64) << 6)
-    msz = g[:, RC_SIZE].astype(jnp.int64) << 24
+    # noise rows carry the RNG state in RC_SIZE — never phase-wrap
+    noisef = (g[:, RC_MODE] & _ROW_NOISE) != 0
+    msz = jnp.where(noisef, 0,
+                    g[:, RC_SIZE].astype(jnp.int64) << 24)
     wrap = (msz > 0) & (k > 0)
     mdiv = jnp.where(wrap, msz, 1)
     ph = jnp.where(wrap, ph % mdiv, ph)
@@ -1100,6 +1201,12 @@ def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
         dpan = jnp.where(use, pick(5), dpan)
         dph64 = jnp.where(use, pick(6), dph64)
         ph = jnp.where(use, pick(7), ph)
+    else:
+        use = jnp.zeros_like(alive)
+    # noise draws consumed before this row's fragment (RAMP rows get
+    # the scan-accumulated count; LINEAR rows are closed-form below)
+    cnt0 = jnp.where(use, tg[:, 8], 0) if has_ramp \
+        else jnp.zeros_like(k64)
     az = alive.astype(jnp.int32)
     pos = ((ph >> 24).astype(jnp.int32) + g[:, RC_POSOFF]) * az
     f = (ph & 0xFFFFFF).astype(jnp.int32) * az
@@ -1110,12 +1217,25 @@ def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
     fields = [pos, f, (dph32 >> 24) * az, (dph32 & 0xFFFFFF) * az,
               amp, damp, zeros, zeros]
 
+    off = jnp.where(k == 0, g[:, RC_OFF], 0)
     outs = []
     b0 = 0
     for (cls, NB), tb in zip(class_sig, tbase_devs):
         if not NB:
             continue
         P = NB * OK.RPB
+        if cls == 0:
+            # table-less noise class: S&H LCG replay on the VPU
+            sl = slice(b0, b0 + P)
+            res = _noise_audio(
+                g[sl, RC_SIZE], g[sl, RC_POSOFF], ph[sl],
+                dph64[sl] & 0xFFFFFFFF,
+                off[sl].astype(jnp.int64),
+                g[sl, RC_OFF].astype(jnp.int64), k64[sl],
+                use[sl], cnt0[sl], amp[sl], damp[sl])
+            outs.append(res)                    # (P, 64)
+            b0 += P
+            continue
         par = jnp.stack(
             [x[b0:b0 + P].reshape(NB, OK.RPB) for x in fields],
             axis=1).reshape(NB * OK.NPARAM, OK.RPB)
@@ -1128,7 +1248,6 @@ def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
     # per-row panmix: vol/pan row-k bases computed above (linear
     # int32-wrap prediction, or the _ramp_scan replay for RAMP rows),
     # evaluated at absolute intra-fragment samples
-    off = jnp.where(k == 0, g[:, RC_OFF], 0)
     end = jnp.clip(g[:, RC_OFF].astype(jnp.int64)
                    + g[:, RC_TOTAL].astype(jnp.int64)
                    - (k64 << 6), 0, FRAG)
@@ -1740,7 +1859,7 @@ class DeviceMixer:
             # signature: dead runmat + high-water class blocks
             blocks = []
             base = 0
-            for cls in OK.PASS_CLASSES:
+            for cls in ALL_CLASSES:
                 NBp = hw.get(("cls", cls), 0)
                 blocks.append((cls, NBp, np.zeros(NBp, np.int32)))
                 base += NBp * OK.RPB

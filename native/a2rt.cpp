@@ -255,6 +255,10 @@ struct Unit {
     /* record mode (a2rt_record.inc) */
     i64 serial;
     int chainpos;
+    u32 nz_expect;  /* noise run continuation: expected global LCG
+                       state at this oscillator's next slice (any
+                       intervening draw by another unit breaks the
+                       run, never bends audio) */
 };
 
 /* ---- voices ---- */
