@@ -144,11 +144,13 @@ def _dispatch_midi(bridge, state, status, d1, d2, offset):
         elif kind == 0xB0:
             bridge.control_change(ch, d1, d2)
         elif kind == 0xE0:
-            bridge.pitch_bend(ch, ((d2 << 7) | d1) - 8192)
+            bridge.pitch_bend(ch, (d2 << 7) | d1)
         elif kind == 0xC0:
             bridge.program_change(ch, d1)
         elif kind == 0xA0:
             bridge.aftertouch(ch, d1, d2)
+        elif kind == 0xD0:
+            bridge.channel_pressure(ch, d1)
     finally:
         i.timestamp = saved
 
@@ -516,6 +518,121 @@ class JackAudioDriver(AudioDriver):
             self._client = None
 
 
+class AlsaMidiDriver(LiveMidiDriver):
+    """Hardware MIDI input via the ALSA sequencer (the reference's
+    alsamididrv.c:259-344), loaded through ctypes at open time.  A
+    readable client port ("Audiality 2") is created; other sequencer
+    clients (keyboards, aconnect) subscribe to it.  poll() drains the
+    event queue non-blocking and forwards note/controller/bend/
+    pressure events to the handler voice via the EP-7 contract, with
+    subsample wall-clock timestamps (the LiveMidiDriver machinery).
+    On systems without libasound or a sequencer, opening raises
+    DEVICEOPEN cleanly — the reference's failure mode.
+
+    NOTE: this deployment image has no sound stack, so the driver is
+    exercised to the open-failure path only; the event decode follows
+    alsa/seq_event.h's documented layout."""
+
+    name = "alsa"
+
+    # snd_seq_event_type_t values (alsa/seq_event.h)
+    _EV_NOTEON = 6
+    _EV_NOTEOFF = 7
+    _EV_KEYPRESS = 8
+    _EV_CONTROLLER = 10
+    _EV_PGMCHANGE = 11
+    _EV_CHANPRESS = 12
+    _EV_PITCHBEND = 13
+
+    def __init__(self, state, options=()):
+        super().__init__(state, options)
+        import ctypes as C
+        from ..errors import A2Exception, A2Error
+        lib = None
+        for nm in ("libasound.so.2", "libasound.so"):
+            try:
+                lib = C.CDLL(nm)
+                break
+            except OSError:
+                continue
+        if lib is None:
+            raise A2Exception(A2Error.DEVICEOPEN,
+                              "ALSA library not available")
+        self._C = C
+        self._lib = lib
+        SND_SEQ_OPEN_INPUT = 2
+        SND_SEQ_NONBLOCK = 1
+        seq = C.c_void_p()
+        if lib.snd_seq_open(C.byref(seq), b"default",
+                            SND_SEQ_OPEN_INPUT, SND_SEQ_NONBLOCK) < 0:
+            raise A2Exception(A2Error.DEVICEOPEN,
+                              "snd_seq_open failed")
+        self._seq = seq
+        lib.snd_seq_set_client_name(seq, b"Audiality 2")
+        # CAP_WRITE|CAP_SUBS_WRITE (0x20|0x40), TYPE_SYNTH (0x400)
+        port = lib.snd_seq_create_simple_port(
+            seq, b"Audiality 2", 0x20 | 0x40, 0x400)
+        if port < 0:
+            lib.snd_seq_close(seq)
+            self._seq = None
+            raise A2Exception(A2Error.DEVICEOPEN,
+                              "snd_seq_create_simple_port failed")
+        self._port = port
+        lib.snd_seq_event_input.argtypes = [C.c_void_p,
+                                            C.POINTER(C.c_void_p)]
+
+    def _drain(self):
+        """Decode pending sequencer events into raw MIDI and queue
+        them at the wall clock of arrival.  snd_seq_event_t layout:
+        16-byte header, then the data union (note: channel/note/
+        velocity bytes at +16; ctrl: channel at +16, param u32 at
+        +20, value i32 at +24)."""
+        C = self._C
+        lib = self._lib
+        ev = C.c_void_p()
+        while lib.snd_seq_event_input(self._seq, C.byref(ev)) > 0:
+            if not ev.value:
+                continue
+            raw = C.cast(ev, C.POINTER(C.c_ubyte))
+            typ = raw[0]
+            if typ in (self._EV_NOTEON, self._EV_NOTEOFF,
+                       self._EV_KEYPRESS):
+                ch, note, vel = raw[16] & 0x0F, raw[17], raw[18]
+                status = {self._EV_NOTEON: 0x90,
+                          self._EV_NOTEOFF: 0x80,
+                          self._EV_KEYPRESS: 0xA0}[typ] | ch
+                self.inject(status, note & 0x7F, vel & 0x7F)
+            elif typ in (self._EV_CONTROLLER, self._EV_PGMCHANGE,
+                         self._EV_CHANPRESS, self._EV_PITCHBEND):
+                ch = raw[16] & 0x0F
+                param = C.cast(C.byref(C.c_ubyte.from_address(
+                    ev.value + 20)), C.POINTER(C.c_uint32))[0]
+                value = C.cast(C.byref(C.c_ubyte.from_address(
+                    ev.value + 24)), C.POINTER(C.c_int32))[0]
+                if typ == self._EV_CONTROLLER:
+                    self.inject(0xB0 | ch, param & 0x7F,
+                                max(0, min(127, value)))
+                elif typ == self._EV_PGMCHANGE:
+                    self.inject(0xC0 | ch, max(0, min(127, value)))
+                elif typ == self._EV_CHANPRESS:
+                    self.inject(0xD0 | ch, max(0, min(127, value)))
+                else:   # pitch bend: ALSA value is -8192..8191
+                    v14 = max(0, min(16383, value + 8192))
+                    self.inject(0xE0 | ch, v14 & 0x7F, v14 >> 7)
+            lib.snd_seq_free_event(ev)
+
+    def poll(self, frames):
+        if self._seq is not None:
+            self._drain()
+        super().poll(frames)
+
+    def close(self):
+        if getattr(self, "_seq", None) is not None:
+            self._lib.snd_seq_close(self._seq)
+            self._seq = None
+        super().close()
+
+
 class HeapSysDriver:
     """RTAlloc/RTFree slot (drivers/mallocdrv.c:30-56): host python
     allocates from its heap; this tracks counts for statistics."""
@@ -539,7 +656,8 @@ _REGISTRY = {
               "callback": CallbackDriver,
               "clock": ClockedCallbackDriver,
               "sdl": SdlAudioDriver, "jack": JackAudioDriver},
-    "midi": {"smf": SmfMidiDriver, "live": LiveMidiDriver},
+    "midi": {"smf": SmfMidiDriver, "live": LiveMidiDriver,
+             "alsa": AlsaMidiDriver},
     "sys": {"heap": HeapSysDriver},
 }
 _DEFAULTS = {"audio": "buffer", "midi": "smf", "sys": "heap"}

@@ -72,6 +72,9 @@ class MidiBridge:
         self.event(MIDI_AFTERTOUCH, channel, note / 12.0,
                    pressure / 127.0)
 
+    def channel_pressure(self, channel, pressure):
+        self.event(MIDI_CHANNELPRESSURE, channel, pressure / 127.0)
+
 
 def _read_varlen(data, pos):
     v = 0
@@ -165,5 +168,7 @@ def play_smf(interface, handler_voice, path, channels=-1):
             bridge.pitch_bend(ch, (d2 << 7) | d1)
         elif kind == 0xA0:
             bridge.aftertouch(ch, d1, d2)
+        elif kind == 0xD0:
+            bridge.channel_pressure(ch, d1)
     interface.timestamp = base
     return bridge

@@ -164,3 +164,55 @@ def test_hardware_audio_drivers_registered():
         with pytest.raises(A2Exception) as ei:
             D.new_driver("audio", name, i.state)
         assert ei.value.code == A2Error.DEVICEOPEN
+
+
+def test_alsa_midi_driver_registered():
+    """The hardware MIDI input backend (reference alsamididrv.c)
+    exists in the registry and fails with a clean DEVICEOPEN on this
+    soundless image."""
+    import pytest
+    from audiality2_tpu.engine.state import open_engine
+    from audiality2_tpu.engine import drivers as D
+    from audiality2_tpu.errors import A2Exception, A2Error
+    assert "alsa" in D.driver_names("midi")
+    i = open_engine(44100, 1024, 1)
+    with pytest.raises(A2Exception) as ei:
+        D.new_driver("midi", "alsa", i.state)
+    assert ei.value.code == A2Error.DEVICEOPEN
+
+
+def test_live_midi_pitch_bend_center():
+    """A center pitch bend (raw 14-bit 8192) through the live driver
+    must deliver bend 0.0 to the handler (regression: the dispatch
+    pre-biased the raw value, shifting center to -1)."""
+    import numpy as np
+    src = """
+export H() { struct { wtosc; panmix } w sine; a 0.2; p 1; set a
+  d 100000; end
+  7(Msg Ch A1 A2) { ifg (Msg - 5.5) { p (1 + A1); set p } }
+}
+"""
+    sr = 44100
+    outs = {}
+    for bend, key in ((8192, "center"), (16383, "up")):
+        i = a2.open_engine(sr, 1024, 1)
+        h = i.load_string(src)
+        i.timestamp_reset()
+        vh = i.starta(i.root_voice(), i.get(h, "H"), [])
+        drv = i.set_midi_driver("live", handler_voice=vh)
+        drv.inject(0xE0, bend & 0x7F, bend >> 7, when=0.0)
+        out = []
+        i.sink_callback(lambda bufs, n, o=out: o.append(np.array(bufs[0])))
+        for _ in range(8):
+            i.run(1024)
+        outs[key] = np.concatenate(out)
+
+    def dom_freq(x):
+        sp = np.abs(np.fft.rfft(x[2048:].astype(np.float64)))
+        return np.argmax(sp) * sr / len(x[2048:])
+
+    fc, fu = dom_freq(outs["center"]), dom_freq(outs["up"])
+    # center = unbent p 1 (one octave up from middle); full-up bend
+    # approaches +1 octave on top of that
+    assert abs(fc - 2 * 261.63) < 15.0, fc
+    assert fu > fc * 1.8, (fc, fu)
