@@ -250,6 +250,7 @@ class DeviceRenderer:
                     self.atlas_entry, self.master_channels)
                 self._tag_prog(prog)
                 self.mixer.observe(prog)
+                self._profiled_prog = prog
                 n += bufsize
         except Exception:
             return False

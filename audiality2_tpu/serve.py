@@ -193,6 +193,18 @@ def render_multiplexed(jobs, bufsize=None, readback="exact",
     if profile:
         for s in streams:
             s.r._profile(s.j.frames, bufsize)
+        # compile every stream's signature up front (shape skeletons
+        # only — no data moves): through this deployment's relay a
+        # fresh signature costs 30-65 s of remote compile, which must
+        # never land inside the serving window.  Streams with equal
+        # shapes share one compile.
+        for s in streams:
+            p = getattr(s.r, "_profiled_prog", None)
+            if p is not None:
+                try:
+                    mixer.precompile(p)
+                except Exception:
+                    pass     # first dispatch will compile instead
 
     inflight = deque()
     DEPTH = 2

@@ -1691,6 +1691,59 @@ def _threaded_get(dev, nchunks=8):
     return np.concatenate(outs, axis=0)
 
 
+# master readback chunk count: the jitted fn returns the master
+# pre-split so fetch() overlaps d2h streams without issuing eager
+# device slice programs
+_RB_CHUNKS = 8
+
+
+def _blob_layout(sig):
+    """Static element layout of the one-blob dispatch upload: a map
+    name -> (offset, shape) over a flat int32 array, derived from the
+    jit signature alone so _dispatch (host fill) and _build_fn
+    (device unpack) always agree."""
+    (F, ninst, minst, mch, rows_sig, rpad, ns, nsm, ramppad,
+     readback, quality, items) = sig
+    ent = []
+    for i, (cls, NB) in enumerate(rows_sig):
+        ent.append((("tbase", i), (NB,)))
+    if rpad:
+        ent.append(("rm", (rpad, BASE_N)))
+    if ramppad:
+        ent.append(("rmp", (ramppad, RR_N)))
+    if ns:
+        ent.append(("sa", (ns, 2, FRAG)))
+        ent.append(("sas", (ns,)))
+    if nsm:
+        ent.append(("sm", (nsm, FRAG)))
+        ent.append(("sms", (nsm,)))
+    nfbd = 0
+    nperm = 0
+    for j, (tag, key, extra) in enumerate(items):
+        if tag == "stage":
+            ent.append((("it", j), (extra, 9)))
+        elif tag == "fbd":
+            ent.append((("it", j), (extra[0], 13)))
+            nfbd += 1
+        else:
+            S, K = extra
+            ent.append((("it", j), (S, K, 13)))
+            nperm += K
+    if nfbd:
+        ent.append(("fbdpos", (nfbd,)))
+    if nperm:
+        ent.append(("fperm", (nperm,)))
+    layout = {}
+    pos = 0
+    for name, shape in ent:
+        sz = 1
+        for d in shape:
+            sz *= d
+        layout[name] = (pos, shape)
+        pos += sz
+    return layout, max(pos, 1)
+
+
 class DeviceMixer:
     """Executes SuperblockPrograms on the device: one jitted function
     per program signature (shape-bucketed at compile time, so a
@@ -1740,6 +1793,12 @@ class DeviceMixer:
         self._union_fbd = {}     # ns -> {unit_id -> template dict}
         self._union_filters = {}  # ns -> {filter class key -> {S,K}}
         self._fine = False       # exact-fit padding (observe())
+        # filter state lives ON DEVICE as one stacked array per
+        # (stream, filter class); the dispatch blob carries a lane
+        # permutation (prev lane or -1 = fresh) so state follows each
+        # unit serial across superblocks with zero per-lane transfers
+        self._filt_cache = {}    # (ns, key) -> [stacked dev, serials]
+        self._init_dev = {}      # (kind, K) -> initial stacked state
 
     def observe(self, prog):
         """Profile pass: folds this program's shapes into the
@@ -2000,7 +2059,11 @@ class DeviceMixer:
                 ramppad if prog.has_ramp else 0, self.readback,
                 self.quality, tuple(items))
 
-    def _build_fn(self, prog, sig):
+    def _build_inner(self, sig):
+        """The unpacked superblock program (separate arrays per
+        input).  Production dispatch wraps it behind the one-blob
+        unpack (_build_fn); the multichip dryrun shards it directly
+        (__graft_entry__)."""
         (F, ninst, minst, mch, rows_sig, rpad, ns, nsm, ramppad,
          readback, quality, items) = sig
         interpret = self.interpret
@@ -2048,6 +2111,91 @@ class DeviceMixer:
                     .astype(jnp.int16)
             return master, new_rings, new_filt
 
+        return fn
+
+    def _build_fn(self, prog, sig):
+        """The production dispatch entry: ONE int32 blob carries every
+        per-superblock input (tbase, runmat, rampmat, stash + slots,
+        stage/fbdelay/filter tables, fbdelay ring positions, filter
+        lane permutation), statically sliced apart on-device.  Each
+        jnp.asarray/device_put is a full relay round trip (~5-15 ms
+        through this deployment's tunnel), so a program with a dozen
+        small tables was paying more in transfer latency than in
+        bytes; the blob makes dispatch exactly one threaded upload +
+        one execute regardless of program structure."""
+        inner = self._build_inner(sig)
+        (F, ninst, minst, mch, rows_sig, rpad, ns, nsm, ramppad,
+         readback, quality, items) = sig
+        layout, total = _blob_layout(sig)
+        nfbd = sum(1 for t, _, _ in items if t == "fbd")
+        nperm = sum(e[1] for t, _, e in items if t == "filt")
+
+        def take(blob, name):
+            pos, shape = layout[name]
+            sz = 1
+            for d in shape:
+                sz *= d
+            return jax.lax.slice(blob, (pos,), (pos + sz,)) \
+                .reshape(shape)
+
+        def fn(atlas, blob, fbd_rings, filt_prevs):
+            z = jnp.zeros((0,), jnp.int32)
+            tbase_devs = [take(blob, ("tbase", i))
+                          for i in range(len(rows_sig))]
+            runmat = take(blob, "rm") if rpad \
+                else jnp.zeros((0, BASE_N), jnp.int32)
+            rampmat = take(blob, "rmp") if ramppad \
+                else jnp.zeros((0, RR_N), jnp.int32)
+            stash_audio = take(blob, "sa") if ns else z
+            stash_slot = take(blob, "sas") if ns else z
+            stash_mono = take(blob, "sm") if nsm else z
+            stash_mono_slot = take(blob, "sms") if nsm else z
+            fbd_pos = take(blob, "fbdpos") if nfbd else z
+            perm = take(blob, "fperm") if nperm else z
+            stage_arrs = []
+            fbd_arrs = []
+            filt_arrs = []
+            filt_states = []
+            pj = 0
+            for j, (tag, key, extra) in enumerate(items):
+                if tag == "stage":
+                    stage_arrs.append(take(blob, ("it", j)))
+                elif tag == "fbd":
+                    fbd_arrs.append(take(blob, ("it", j)))
+                else:
+                    arrj = take(blob, ("it", j))
+                    K = extra[1]
+                    pm = jax.lax.slice(perm, (pj,), (pj + K,))
+                    pj += K
+                    prev = filt_prevs[len(filt_arrs)]
+                    idx = jnp.clip(pm, 0, prev.shape[0] - 1)
+                    if key[2] == "lim":
+                        st = jnp.where(pm < 0,
+                                       jnp.int64(_LIM_PEAK0),
+                                       prev[idx])
+                    else:
+                        st = jnp.where((pm < 0)[:, None, None],
+                                       0, prev[idx])
+                    filt_arrs.append(arrj)
+                    filt_states.append(st)
+            master, nr_, nf_ = inner(
+                atlas, tbase_devs, runmat, rampmat,
+                stash_audio, stash_slot, stash_mono,
+                stash_mono_slot, stage_arrs, fbd_arrs,
+                fbd_rings, fbd_pos, filt_arrs, filt_states)
+            # master returns pre-split into chunks: slicing INSIDE
+            # the jit is free, while slicing the result eagerly costs
+            # one relay-executed device program per chunk (~20-40 ms
+            # each — the old _threaded_get was paying 8 of them per
+            # fetch, dwarfing the actual d2h bytes)
+            k = min(_RB_CHUNKS, F)
+            bnds = np.linspace(0, F, k + 1).astype(int)
+            parts = tuple(
+                jax.lax.slice_in_dim(master, int(b0), int(b1),
+                                     axis=0)
+                for b0, b1 in zip(bnds[:-1], bnds[1:]))
+            return parts, nr_, nf_
+
         return jax.jit(fn)
 
     def run(self, prog):
@@ -2063,6 +2211,42 @@ class DeviceMixer:
                 return self._dispatch(prog)
         return self._dispatch(prog)
 
+    def precompile(self, prog):
+        """Triggers this program signature's remote jit compile from
+        shape skeletons alone — no data dispatched, no device state
+        touched.  A server calls this per stream after profiling so
+        the serving window never blocks on the relay compiler (each
+        new signature costs seconds-to-a-minute there).  Returns True
+        if a compile actually happened."""
+        self._repad(prog)
+        sig = self._signature(prog)
+        if sig in self._fns:
+            return False
+        fn = self._build_fn(prog, sig)
+        layout, total = _blob_layout(sig)
+        (F, ninst, minst, mch, rows_sig, rpad, ns, nsm, ramppad,
+         readback, quality, items) = sig
+        sd = jax.ShapeDtypeStruct
+        blob = sd((total,), jnp.int32)
+        rings = [sd((2, _FBD_BUFSIZE), jnp.int32)
+                 for t, _, _ in items if t == "fbd"]
+        prevs = [sd((e[1],), jnp.int64) if k[2] == "lim"
+                 else sd((e[1], 2, 2), jnp.int32)
+                 for t, k, e in items if t == "filt"]
+        # the stored Compiled is callable with the same arg structure
+        # as the jitted fn, so _dispatch needs no special casing
+        self._fns[sig] = fn.lower(self._atlas(), blob, rings,
+                                  prevs).compile()
+        return True
+
+    def _init_state(self, kind, K):
+        d = self._init_dev.get((kind, K))
+        if d is None:
+            d = jnp.full((K,), _LIM_PEAK0, jnp.int64) \
+                if kind == "lim" else jnp.zeros((K, 2, 2), jnp.int32)
+            self._init_dev[(kind, K)] = d
+        return d
+
     def _dispatch(self, prog):
         self._repad(prog)
         sig = self._signature(prog)
@@ -2072,49 +2256,33 @@ class DeviceMixer:
             self._fns[sig] = fn
 
         atlas = self._atlas()
-        tbase_devs = [jnp.asarray(tb)
-                      for _, _, tb in prog.class_blocks]
-        # ONE blob upload for the big arrays: the relay's h2d rate
-        # scales with stream count (~60 MB/s single, ~130 MB/s
-        # 16-way), so concatenating runmat/rampmat/stash into a
-        # single 16-way-chunked transfer and slicing on-device beats
-        # four sequential puts by ~2-3x
-        rmp = getattr(prog, "rampmat", None)
-        smn = getattr(prog, "stash_mono", None)
-        parts = []
-        if prog.runmat is not None and prog.runmat.size:
-            parts.append(("rm", prog.runmat))
-        if rmp is not None and rmp.size:
-            parts.append(("rmp", rmp))
-        if prog.stash_audio is not None:
-            parts.append(("sa", prog.stash_audio))
-        if smn is not None:
-            parts.append(("sm", smn))
-        if parts:
-            blob = np.concatenate([a.ravel() for _, a in parts])
-            dev = _threaded_put(blob, nchunks=16)
-            out = {}
-            pos = 0
-            for name, a in parts:
-                out[name] = dev[pos:pos + a.size].reshape(a.shape)
-                pos += a.size
-        else:
-            out = {}
-        runmat = out.get("rm", jnp.zeros((0, BASE_N), jnp.int32))
-        rampmat = out.get("rmp", jnp.zeros((0, RR_N), jnp.int32))
-        if "sa" in out:
-            stash_audio = out["sa"]
-            stash_slot = jnp.asarray(prog.stash_slot)
-        else:
-            stash_audio = stash_slot = jnp.zeros((0,), jnp.int32)
-        if "sm" in out:
-            stash_mono = out["sm"]
-            stash_mono_slot = jnp.asarray(prog.stash_mono_slot)
-        else:
-            stash_mono = stash_mono_slot = jnp.zeros((0,), jnp.int32)
+        ns_ = getattr(prog, "ns", 0)
+        layout, total = _blob_layout(sig)
+        blob = np.zeros(total, np.int32)
 
-        # assemble per-item arrays in sorted (execution) order
-        # (same key+tiebreak as _signature)
+        def put(name, a):
+            pos, shape = layout[name]
+            a = np.asarray(a)
+            blob[pos:pos + a.size] = a.ravel().astype(np.int32,
+                                                      copy=False)
+
+        for i, (_, _, tb) in enumerate(prog.class_blocks):
+            put(("tbase", i), tb)
+        if prog.runmat is not None and prog.runmat.size:
+            put("rm", prog.runmat)
+        rmp = getattr(prog, "rampmat", None)
+        if rmp is not None and rmp.size and prog.has_ramp:
+            put("rmp", rmp)
+        if prog.stash_audio is not None and len(prog.stash_audio):
+            put("sa", prog.stash_audio)
+            put("sas", prog.stash_slot)
+        smn = getattr(prog, "stash_mono", None)
+        if smn is not None and len(smn):
+            put("sm", smn)
+            put("sms", prog.stash_mono_slot)
+
+        # per-item tables in sorted (execution) order — the same
+        # key+tiebreak as _signature, so item j here is item j there
         items = []
         for st in prog.stages:
             items.append(("stage", st["key"], st, ""))
@@ -2124,74 +2292,107 @@ class DeviceMixer:
         for fl in prog.filters:
             items.append(("filt", fl["key"], fl, ""))
         items.sort(key=lambda t: (t[1], t[3]))
-        items = [t[:3] for t in items]
-        stage_arrs = []
-        fbd_arrs = []
         fbd_rings = []
         fbd_pos = []
         fbd_ids = []
         fbd_nframes = []
-        filt_arrs = []
-        filt_states = []
+        filt_prevs = []
+        filt_keys = []
         filt_serials = []
-        for tag, _, ob in items:
-            if tag == "stage":
-                stage_arrs.append(jnp.asarray(ob["arr"]))
-            elif tag == "fbd":
+        perm = []
+        for j, (tag, _, ob, _) in enumerate(items):
+            put(("it", j), ob["arr"])
+            if tag == "fbd":
                 uid = ob["unit_id"]
                 ring = self._rings.get(uid)
                 if ring is None:
-                    ring = [jnp.zeros((2, _FBD_BUFSIZE), jnp.int32), 0]
+                    ring = [jnp.zeros((2, _FBD_BUFSIZE), jnp.int32),
+                            0]
                     self._rings[uid] = ring
-                fbd_arrs.append(jnp.asarray(ob["arr"]))
                 fbd_rings.append(ring[0])
-                fbd_pos.append(jnp.int32(ring[1] & (_FBD_BUFSIZE - 1)))
+                fbd_pos.append(ring[1] & (_FBD_BUFSIZE - 1))
                 fbd_ids.append(uid)
                 fbd_nframes.append(int(ob["arr"][:, 5].sum()))
-            else:
+            elif tag == "filt":
                 kind = ob["kind"]
                 K = ob["arr"].shape[1]
-                sts = []
-                for j in range(K):
-                    uid = ob["serials"][j] \
-                        if j < len(ob["serials"]) else None
-                    s = self._rings.get(("filt", uid)) \
-                        if uid is not None else None
-                    if s is None:
-                        s = jnp.int64(_LIM_PEAK0) if kind == "lim" \
-                            else jnp.zeros((2, 2), jnp.int32)
-                    sts.append(s)
-                filt_arrs.append(jnp.asarray(ob["arr"]))
-                filt_states.append(jnp.stack(sts))
-                filt_serials.append(ob["serials"])
+                cur = list(ob["serials"])
+                cur += [None] * (K - len(cur))
+                ck = (ns_, ob["key"])
+                ent = self._filt_cache.get(ck)
+                if ent is None:
+                    prev_dev = self._init_state(kind, K)
+                    prev_ser = []
+                else:
+                    prev_dev, prev_ser = ent
+                    if prev_dev.shape[0] != K:
+                        # signature growth (recompiles anyway): pad /
+                        # trim the device state once, eagerly
+                        init = self._init_state(kind, K)
+                        prev_dev = jnp.concatenate(
+                            [prev_dev[:K], init[prev_dev.shape[0]:]],
+                            axis=0)
+                perm.extend(
+                    prev_ser.index(s)
+                    if (s is not None and s in prev_ser) else -1
+                    for s in cur)
+                filt_prevs.append(prev_dev)
+                filt_keys.append(ck)
+                filt_serials.append(cur)
+        if fbd_pos:
+            put("fbdpos", np.asarray(fbd_pos, np.int32))
+        if perm:
+            put("fperm", np.asarray(perm, np.int32))
 
-        master, new_rings, new_filt = fn(
-            atlas, tbase_devs, runmat, rampmat,
-            stash_audio, stash_slot, stash_mono, stash_mono_slot,
-            stage_arrs, fbd_arrs, fbd_rings,
-            jnp.asarray(fbd_pos, jnp.int32)
-            if fbd_pos else jnp.zeros((0,), jnp.int32),
-            filt_arrs, filt_states)
+        dev = _threaded_put(blob, nchunks=16)
+        masters, new_rings, new_filt = fn(atlas, dev, fbd_rings,
+                                          filt_prevs)
         for uid, ring, nf in zip(fbd_ids, new_rings, fbd_nframes):
             self._rings[uid][0] = ring
             self._rings[uid][1] = (self._rings[uid][1] + nf)                 % _FBD_BUFSIZE
-        for serials, stf in zip(filt_serials, new_filt):
-            for j, uid in enumerate(serials):
-                self._rings[("filt", uid)] = stf[j]
+        for ck, cur, stf in zip(filt_keys, filt_serials, new_filt):
+            self._filt_cache[ck] = [stf, cur]
 
-        return (master, prog.frag_sizes, prog.master_channels)
+        return (masters, prog.frag_sizes, prog.master_channels)
+
+    @staticmethod
+    def _get_parts(masters):
+        """Concurrent d2h of the pre-split master chunks (the jitted
+        fn returns them already sliced, so each np.asarray is a pure
+        transfer with no device program)."""
+        import threading
+        outs = [None] * len(masters)
+        errs = []
+
+        def g(i):
+            try:
+                outs[i] = _retry(lambda: np.asarray(masters[i]))
+            except BaseException as e:
+                errs.append(e)
+        th = [threading.Thread(target=g, args=(i,))
+              for i in range(len(masters))]
+        for t in th:
+            t.start()
+        for t in th:
+            t.join()
+        if errs:
+            raise errs[0]
+        return np.concatenate(outs, axis=0)
 
     def fetch(self, handle):
         """Blocks on the threaded readback of a dispatched superblock
         and returns master audio [channels][frames] (numpy)."""
-        master, frag_sizes, mch = handle
+        masters, frag_sizes, mch = handle
+        if not isinstance(masters, (tuple, list)):
+            masters = (masters,)
         if self.transfer_lock is not None:
             # wait for the device off-lock, serialize only the d2h
-            master.block_until_ready()
+            for m in masters:
+                m.block_until_ready()
             with self.transfer_lock:
-                out = _threaded_get(master)      # [F, mch, 64]
+                out = self._get_parts(masters)   # [F, mch, 64]
         else:
-            out = _threaded_get(master)          # [F, mch, 64]
+            out = self._get_parts(masters)       # [F, mch, 64]
         if out.dtype == np.int16:
             # reconstruct the int32 8:24 contract from the on-device
             # 16-bit conversion (lossless for 16-bit PCM sinks)
