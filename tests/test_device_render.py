@@ -270,3 +270,38 @@ def test_device_render_fallback_golden():
     dev, fb = render(DeviceRenderer, channels=1, interpret=True)
     assert fb
     assert (dev == native).all()
+
+
+def test_device_render_precompile_bit_exact():
+    """DeviceMixer.precompile (AOT compile from shape skeletons) must
+    leave dispatch output bit-identical and must not add a second
+    compile: after precompile, the signature's cached executable is a
+    Compiled object, and a profiled render reuses it."""
+    from audiality2_tpu.engine.device_render import DeviceRenderer
+
+    def render(pre):
+        i = a2.open_engine(44100, 4096, 1, batched=False)
+        prog = i.get(i.load(f"{BENCH}/k2trance.a2s"), "Song")
+        r = DeviceRenderer(i, channels=1)
+        r.timestamp_reset()
+        r.start(0, prog)
+        frames = 4 * 4096
+        r._profile(frames, 4096)
+        if pre:
+            assert r.mixer.precompile(r._profiled_prog)
+            nsig = len(r.mixer._fns)
+        out = []
+        n = 0
+        while n < frames:
+            out.append(r.run(4096))
+            n += 4096
+        if pre:
+            assert len(r.mixer._fns) == nsig, \
+                "dispatch recompiled after precompile"
+        assert not r.fell_back
+        r.close()
+        return np.concatenate(out, axis=1)[0]
+
+    a = render(False)
+    b = render(True)
+    assert (a == b).all()
