@@ -133,7 +133,6 @@ def render_multiplexed(jobs, bufsize=None, readback="exact",
     record/dispatch/fetch fails is bridged to the native path at its
     emitted frontier, sample-exactly, without disturbing the others.
     """
-    from collections import deque
     from .tpu.superblock import DeviceMixer, program_from_native
 
     core = _SharedCore()
@@ -206,30 +205,36 @@ def render_multiplexed(jobs, bufsize=None, readback="exact",
                 except Exception:
                     pass     # first dispatch will compile instead
 
-    inflight = deque()
-    DEPTH = 2
+    # Four-slot pipeline, the solo render()'s shape with stream
+    # rotation: the main thread records+builds stream A's next
+    # superblock while a dispatch thread uploads B's, the device
+    # computes C's and a fetch thread reads D's back.  A fully serial
+    # rotation (record -> dispatch -> fetch per superblock) measures
+    # ~3x slower aggregate — every phase waits on every other.
+    import threading
     rot = 0
+    rec_out = None           # (stream, prog) awaiting dispatch
+    disp = None              # running dispatch thread
+    dres = [None, None, None]    # (stream, handle, error)
+    pending = None           # (stream, handle) computing on device
+    fetcher = None           # running fetch thread
+    fres = [None, None, None]    # (stream, out, error)
 
-    def drain_one():
-        s2, h = inflight.popleft()
-        try:
-            out = s2.r.mixer.fetch(h)
-        except BaseException as e:
-            # drop this stream's remaining in-flight work; others
-            # keep theirs
-            for k in range(len(inflight) - 1, -1, -1):
-                if inflight[k][0] is s2:
-                    del inflight[k]
-            s2.bridge(e)
-            return
-        s2.emit(out)
+    def drop_inflight(s2):
+        """Discard s2's pipeline slots (it bridged natively)."""
+        nonlocal rec_out, pending
+        if rec_out is not None and rec_out[0] is s2:
+            rec_out = None
+        if pending is not None and pending[0] is s2:
+            pending = None
 
     while True:
         active = [s for s in streams
                   if not s.native and s.recorded < s.j.frames]
-        if not active and not inflight:
+        if not active and rec_out is None and disp is None \
+                and pending is None and fetcher is None:
             break
-        if active:
+        if active and rec_out is None:
             s = active[rot % len(active)]
             rot += 1
             try:
@@ -238,18 +243,56 @@ def render_multiplexed(jobs, bufsize=None, readback="exact",
                     rows, stages, stash, nfrag, [64] * nfrag,
                     s.r.atlas_entry, s.r.master_channels)
                 s.r._tag_prog(prog)
-                h = mixer.dispatch(prog)
             except BaseException as e:
-                for k in range(len(inflight) - 1, -1, -1):
-                    if inflight[k][0] is s:
-                        s2, h2 = inflight[k]
-                        del inflight[k]
+                drop_inflight(s)
                 s.bridge(e)
                 continue
             s.recorded += bufsize
-            inflight.append((s, h))
-        if len(inflight) >= DEPTH or (not active and inflight):
-            drain_one()
+            rec_out = (s, prog)
+        if disp is not None:
+            disp.join()
+            disp = None
+            s2, h, err = dres
+            if err is not None:
+                if not s2.native:
+                    drop_inflight(s2)
+                    s2.bridge(err)
+            elif not s2.native:
+                pending = (s2, h)
+        if fetcher is not None:
+            fetcher.join()
+            fetcher = None
+            s2, out, err = fres
+            if err is not None:
+                if not s2.native:
+                    drop_inflight(s2)
+                    s2.bridge(err)
+            elif not s2.native:
+                s2.emit(out)
+        if pending is not None:
+            s2, h = pending
+            pending = None
+
+            def get(s2=s2, h=h):
+                fres[0], fres[1], fres[2] = s2, None, None
+                try:
+                    fres[1] = mixer.fetch(h)
+                except BaseException as e:
+                    fres[2] = e
+            fetcher = threading.Thread(target=get)
+            fetcher.start()
+        if rec_out is not None:
+            s2, prog = rec_out
+            rec_out = None
+
+            def put(s2=s2, prog=prog):
+                dres[0], dres[1], dres[2] = s2, None, None
+                try:
+                    dres[1] = mixer.dispatch(prog)
+                except BaseException as e:
+                    dres[2] = e
+            disp = threading.Thread(target=put)
+            disp.start()
     for s in streams:
         s.finish()
     return jobs

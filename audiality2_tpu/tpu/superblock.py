@@ -1587,23 +1587,31 @@ def _apply_filter(slots, kind, sig, arr, state):
         off = ax[:, 4]
         frm = ax[:, 5]
         msk = (nvec >= off[:, None]) & (nvec < (off + frm)[:, None])
-        outs = [jnp.zeros_like(x0) for _ in range(no)]
+        # The 64 intra-fragment samples run as an INNER lax.scan
+        # (instances batch on the lane axis of each [K] step).  An
+        # unrolled python loop is a compile-time trap on this graph:
+        # per-sample lane updates (.at[:, nn].set) cost ~12 s of XLA
+        # CPU compile per signature, and both leading-axis updates
+        # and a 64-column jnp.stack trip XLA's slow-compile path
+        # (minutes — concat fusion recomputes each column's whole
+        # recurrence chain).  The scan body compiles once: ~0.4 s,
+        # with identical steady-state runtime (measured both).
+        nn64 = jnp.arange(FRAG, dtype=jnp.int64)
         if kind == "lim":
             rel = ax[:, 6]
             thr = ax[:, 7] & _M32
-            pk = st
-            o0 = outs[0]
-            o1 = outs[-1]
-            for nn in range(FRAG):
-                act = msk[:, nn]
+
+            def istep(pk, xs_):
                 if stereo:
-                    lp_ = jnp.abs(x0[:, nn])
-                    rp_ = jnp.abs(x1[:, nn])
+                    x0n, x1n, actn = xs_
+                    lp_ = jnp.abs(x0n)
+                    rp_ = jnp.abs(x1n)
                     pka = jnp.maximum(lp_, rp_)
                     pka = (pka + ((pka - jnp.abs(lp_ - rp_)) >> 1)) \
                         & _M32
                 else:
-                    pka = jnp.abs(x0[:, nn]) & _M32
+                    x0n, actn = xs_
+                    pka = jnp.abs(x0n) & _M32
                 gt = pka > pk
                 dec = (pk - rel) & _M32
                 dec = jnp.where(dec < thr, thr, dec)
@@ -1611,76 +1619,86 @@ def _apply_filter(slots, kind, sig, arr, state):
                 gain = _tdiv(jnp.int64(32767 << 16),
                              jnp.maximum(((pk2 + 511) & _M32) >> 9,
                                          1))
-                v0 = _w32((x0[:, nn] * gain) >> 16)
-                o0 = o0.at[:, nn].set(v0)
-                if stereo:
-                    o1 = o1.at[:, nn].set(
-                        _w32((x1[:, nn] * gain) >> 16))
-                pk = jnp.where(act, pk2, pk)
-            outs[0] = o0
-            if stereo:
-                outs[-1] = o1
-            st2 = pk
+                o0n = _w32((x0n * gain) >> 16)
+                o1n = _w32((x1n * gain) >> 16) if stereo else None
+                if no == 2:
+                    # mono-in/stereo-out keeps channel 2 silent
+                    ys = (o0n, o1n if stereo
+                          else jnp.zeros_like(o0n))
+                else:
+                    # stereo-in/mono-out: the later channel wins the
+                    # shared output (historical write order)
+                    ys = (o1n if stereo else o0n,)
+                return jnp.where(actn, pk2, pk), ys
+
+            ixs = (x0.T, x1.T, msk.T) if stereo else (x0.T, msk.T)
+            st2, ys = jax.lax.scan(istep, st, ixs)
+            outs = [y.T for y in ys]
         else:
-            # filter12.c:94-118 / dcblock.c state-variable cores
-            d1 = st[:, 0]          # [K, 2]
-            d2 = st[:, 1]
+            # filter12.c:94-118 / dcblock.c state-variable cores;
+            # state rides per-channel [K] int32 carries
             if kind == "f12":
                 f0 = ax[:, 6]
                 df = ax[:, 7]
                 qv = ax[:, 8]
                 qd = ax[:, 9]
-                lp = ax[:, 10:11]
-                bp = ax[:, 11:12]
-                hp = ax[:, 12:13]
+                lp0 = ax[:, 10]
+                bp0 = ax[:, 11]
+                hp0 = ax[:, 12]
             else:
-                fc = (ax[:, 6] >> 12)[:, None]
-            xs = [x0, x1] if stereo else [x0]
-            o_acc = [outs[0], outs[-1]] if no == 2 else [outs[0]]
-            for nn in range(FRAG):
-                act = msk[:, nn]
-                ns_ = nn - off
+                fc0 = ax[:, 6] >> 12
+            nch = 2 if stereo else 1
+
+            def istep(c2, xs_):
+                d1 = list(c2[0])
+                d2 = list(c2[1])
+                xn = xs_[:nch]
+                actn, nn = xs_[nch], xs_[nch + 1]
                 if kind == "f12":
-                    fl = (_w32(f0 + ns_ * df) >> 12)[:, None]
-                    qq = (_w32(qv + ns_ * qd) >> 12)[:, None]
-                new_d1 = d1
-                new_d2 = d2
-                for c in range(len(xs)):
-                    x = xs[c][:, nn]
+                    ns_ = nn - off
+                    fl = _w32(f0 + ns_ * df) >> 12
+                    qq = _w32(qv + ns_ * qd) >> 12
+                fos = [None] * no
+                for c in range(nch):
+                    x = xn[c]
                     if kind == "f12":
-                        d1c = d1[:, c] >> 4
-                        l = _w32(d2[:, c]
-                                 + (_w32(fl[:, 0] * d1c) >> 8))
+                        d1c = d1[c] >> 4
+                        l = _w32(d2[c] + (_w32(fl * d1c) >> 8))
                         h = _w32(_w32((x >> 5) - l)
-                                 - (_w32(qq[:, 0] * d1c) >> 8))
-                        b = _w32((_w32(fl[:, 0] * (h >> 4)) >> 8)
-                                 + d1[:, c])
-                        fo = _w32(_w32(_w32(_w32(l * lp[:, 0])
-                                            + _w32(b * bp[:, 0]))
-                                       + _w32(h * hp[:, 0])) >> 3)
+                                 - (_w32(qq * d1c) >> 8))
+                        b = _w32((_w32(fl * (h >> 4)) >> 8)
+                                 + d1[c])
+                        fo = _w32(_w32(_w32(_w32(l * lp0)
+                                            + _w32(b * bp0))
+                                       + _w32(h * hp0)) >> 3)
                     else:
-                        t1 = d1[:, c] >> 4
-                        l = _w32(d2[:, c]
-                                 + (_w32(fc[:, 0] * t1) >> 8))
+                        t1 = d1[c] >> 4
+                        l = _w32(d2[c] + (_w32(fc0 * t1) >> 8))
                         h = _w32(_w32((x >> 5) - l)
                                  - _w32(t1 << 4))
-                        b = _w32((_w32(fc[:, 0] * (h >> 4)) >> 8)
-                                 + d1[:, c])
+                        b = _w32((_w32(fc0 * (h >> 4)) >> 8)
+                                 + d1[c])
                         fo = _w32(h << 5)
-                    oc = min(c, no - 1)
-                    o_acc[oc] = o_acc[oc].at[:, nn].set(fo)
-                    new_d1 = new_d1.at[:, c].set(
-                        jnp.where(act, b, d1[:, c])
-                        .astype(jnp.int32))
-                    new_d2 = new_d2.at[:, c].set(
-                        jnp.where(act, l, d2[:, c])
-                        .astype(jnp.int32))
-                d1 = new_d1
-                d2 = new_d2
-            outs[0] = o_acc[0]
-            if no == 2:
-                outs[-1] = o_acc[-1]
-            st2 = jnp.stack([d1, d2], axis=1)
+                    # stereo-in/mono-out: the later channel's sample
+                    # wins the shared output (matches the unit's
+                    # historical write order)
+                    fos[min(c, no - 1)] = fo
+                    d1[c] = jnp.where(actn, b, d1[c]) \
+                        .astype(jnp.int32)
+                    d2[c] = jnp.where(actn, l, d2[c]) \
+                        .astype(jnp.int32)
+                fos = [f if f is not None else jnp.zeros_like(xn[0])
+                       for f in fos]
+                return (tuple(d1), tuple(d2)), tuple(fos)
+
+            c0 = (tuple(st[:, 0, c] for c in range(2)),
+                  tuple(st[:, 1, c] for c in range(2)))
+            ixs = tuple(x.T for x in ([x0, x1] if stereo else [x0])) \
+                + (msk.T, nn64)
+            (d1f, d2f), ys = jax.lax.scan(istep, c0, ixs)
+            outs = [y.T for y in ys]
+            st2 = jnp.stack([jnp.stack(d1f, axis=1),
+                             jnp.stack(d2f, axis=1)], axis=1)
         # emit (REPLACE as add-of-difference, like _emit)
         for c, dst_col, ch_d in (((0, 2, dch[0]),)
                                  + (((1, 3, dch[-1]),)

@@ -78,7 +78,11 @@ def bench_device_path(seconds=192.0, samplerate=44100):
         warm_s = _t.perf_counter() - t0
         r.timestamp_reset()
         r.start(0, song)
-        BUF = 2752 * 64
+        # ~12 s superblocks: the steady chain is per-superblock
+        # compute + fixed relay latency/readback; bigger superblocks
+        # amortize the fixed part (same-weather sweep: 4 s -> 16.1x,
+        # 8 s -> 16.7x, 12 s -> 23.0x)
+        BUF = 8268 * 64
         total = int(seconds * samplerate)
         marks = []
 
@@ -137,7 +141,7 @@ def bench_serving(K=4, seconds=96.0, samplerate=44100):
                 events.append((_t.perf_counter(), n))
             jobs.append(StreamJob(i, prog, frames, channels=1,
                                   sink=sink))
-        render_multiplexed(jobs, bufsize=1376 * 64, readback="i16")
+        render_multiplexed(jobs, bufsize=2752 * 64, readback="i16")
         if any(j.error is not None for j in jobs) or not events:
             return None
         fell = sum(bool(j.renderer.fell_back) for j in jobs)
