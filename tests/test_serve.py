@@ -62,3 +62,68 @@ def test_render_multiplexed_bit_exact():
         gold = np.fromfile(f"{GOLD}/{song}-5s-44100.raw", np.int32)
         m = j.frames - j.frames % 4096
         assert (j.output[0][:m] == gold[:m]).all(), song
+
+
+def test_render_multiplexed_dispatch_fault_bridges(monkeypatch):
+    """A stream whose dispatch dies mid-run must bridge to the native
+    path at its emitted frontier, sample-exactly, without disturbing
+    the other streams' device pipelines (serve.render_multiplexed's
+    4-slot pipeline: the fault can land while the victim has another
+    superblock in flight)."""
+    from audiality2_tpu.serve import render_multiplexed
+    from audiality2_tpu.tpu import superblock as sb
+
+    songs = ["k2trance", "k2loader", "dctest"]
+    jobs = [_job(s, 0.6) for s in songs]
+    calls = {"n": 0}
+    seen = []        # distinct ns in first-dispatch order = stream
+    orig = sb.DeviceMixer.dispatch     # order (round-robin rotation)
+
+    def flaky(self, prog):
+        ns = getattr(prog, "ns", 0)
+        if ns not in seen:
+            seen.append(ns)
+        # kill stream 1's SECOND superblock (its first already
+        # emitted, so the bridge must continue mid-song)
+        if seen.index(ns) == 1:
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise RuntimeError("injected dispatch fault")
+        return orig(self, prog)
+
+    monkeypatch.setattr(sb.DeviceMixer, "dispatch", flaky)
+    render_multiplexed(jobs, bufsize=31 * 64, interpret=True)
+    assert [j.renderer.fell_back for j in jobs] == [False, True,
+                                                    False]
+    for song, j in zip(songs, jobs):
+        assert j.error is None
+        gold = np.fromfile(f"{GOLD}/{song}-5s-44100.raw", np.int32)
+        m = j.frames - j.frames % 4096
+        assert (j.output[0][:m] == gold[:m]).all(), song
+
+
+def test_render_multiplexed_fetch_fault_bridges(monkeypatch):
+    """Same contract when a FETCH dies: whichever stream owned the
+    failed readback bridges; every stream's output stays bit-exact."""
+    from audiality2_tpu.serve import render_multiplexed
+    from audiality2_tpu.tpu import superblock as sb
+
+    songs = ["k2trance", "dctest"]
+    jobs = [_job(s, 0.6) for s in songs]
+    calls = {"n": 0}
+    orig = sb.DeviceMixer.fetch
+
+    def flaky(self, handle):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("injected fetch fault")
+        return orig(self, handle)
+
+    monkeypatch.setattr(sb.DeviceMixer, "fetch", flaky)
+    render_multiplexed(jobs, bufsize=31 * 64, interpret=True)
+    assert sum(j.renderer.fell_back for j in jobs) == 1
+    for song, j in zip(songs, jobs):
+        assert j.error is None
+        gold = np.fromfile(f"{GOLD}/{song}-5s-44100.raw", np.int32)
+        m = j.frames - j.frames % 4096
+        assert (j.output[0][:m] == gold[:m]).all(), song
