@@ -259,6 +259,26 @@ struct Unit {
                        state at this oscillator's next slice (any
                        intervening draw by another unit breaks the
                        run, never bends audio) */
+    /* per-oscillator run state (a2rt_record.inc rec_commit) — lives
+       on the UNIT so chains with several oscillators (in-chain
+       generators, multi-wtosc stacks) each keep their own open run.
+       A RAMP run ships the rampers' (target, timer) snapshot and the
+       device re-runs a2_PrepareRamper's per-fragment requantization;
+       sim_* hold the live ramper/phase state as of the end of the
+       run's last fully-committed fragment, and every new-fragment
+       extension replays ONE fragment from sim and must match the
+       candidate exactly (a mismatch breaks the run, never audio). */
+    int run_idx;            /* open run row index, -1 = none */
+    i64 run_epoch;          /* record-call epoch the run belongs to */
+    int run_dirty;          /* wtosc/panmix register write since the
+                               last fragment-boundary commit */
+    int run_ramp_ok;        /* replay-from-snapshot still valid */
+    int run_ramp_committed; /* run emitted with RF_RAMP=1 */
+    int run_snap;           /* fragment-0 snapshot written to row */
+    Ramper sim_a, sim_vol, sim_pan, sim_pt;
+    i32 sim_pramping;
+    u32 sim_dphraw;
+    u64 sim_phase;          /* mip-scaled kernel-domain phase */
 };
 
 /* ---- voices ---- */
@@ -293,26 +313,6 @@ struct Voice {
                                and ships as stash patches */
     int pending_row;        /* -3: candidate awaiting panmix attach */
     int pending_stash;
-    int run_idx;            /* open run (a2rt_record.inc rec_commit) */
-    i64 run_epoch;          /* record-call epoch the run belongs to */
-    /* ramper-replay run state (a2rt_record.inc rec_commit): a RAMP
-       run ships the rampers' (target, timer) snapshot and the device
-       re-runs a2_PrepareRamper's per-fragment requantization, so an
-       entire envelope/pitch ramp segment becomes ONE run instead of
-       one row per fragment.  sim_* hold the live ramper/phase state
-       as of the end of the run's last fully-committed fragment; a
-       new-fragment extension replays ONE fragment from sim and must
-       match the candidate exactly, keeping bit-exactness
-       unconditional (a mismatch just breaks the run). */
-    int run_dirty;          /* wtosc/panmix register write since the
-                               last fragment-boundary commit */
-    int run_ramp_ok;        /* replay-from-snapshot still valid */
-    int run_ramp_committed; /* run emitted with RF_RAMP=1 */
-    int run_snap;           /* fragment-0 snapshot written to row */
-    Ramper sim_a, sim_vol, sim_pan, sim_pt;
-    i32 sim_pramping;
-    u32 sim_dphraw;
-    u64 sim_phase;          /* mip-scaled kernel-domain phase */
     i32 stash_tmp[MAXFRAG];
     /* call stack */
     struct StackEntry {
@@ -469,9 +469,6 @@ struct State {
         v->defer = 0; v->hostsub = 0;
         v->ext_outputs = nullptr; v->ext_noutputs = 0;
         v->pending_row = -1; v->pending_stash = 0;
-        v->run_idx = -1; v->run_epoch = 0;
-        v->run_dirty = 0; v->run_ramp_ok = 0;
-        v->run_ramp_committed = 0; v->run_snap = 0;
         v->stack.clear();
         memset(v->sv, 0, sizeof(v->sv));
         memset(v->cregs, 0, sizeof(v->cregs));
