@@ -177,6 +177,10 @@ _ROW_CLAMP = 4
 # real sample.  Noise runs live in pseudo pass class 0 (no wavetable)
 # and are expanded as closed-form crossing counts + an LCG log-jump.
 _ROW_NOISE = 8
+# dc row (native a2rt_record.inc RM_DC, RF_WAVE == -2): pseudo pass
+# class 0 like noise; the device emits the per-sample amp ramp value
+# itself (dc.c LINEAR out[n] = value + n*delta after PrepareRamper)
+_ROW_DC = 16
 
 # run pass classes: the pallas classes plus the table-less noise
 # class 0, which _expand_rows computes directly on the VPU
@@ -1258,7 +1262,8 @@ def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
             continue
         P = NB * OK.RPB
         if cls == 0:
-            # table-less noise class: S&H LCG replay on the VPU
+            # table-less class: S&H LCG noise replay, or a dc row
+            # (dc.c LINEAR), whose output IS the amp trajectory
             sl = slice(b0, b0 + P)
             res = _noise_audio(
                 g[sl, RC_SIZE], g[sl, RC_POSOFF], ph[sl],
@@ -1266,6 +1271,11 @@ def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
                 off[sl].astype(jnp.int64),
                 g[sl, RC_OFF].astype(jnp.int64), k64[sl],
                 use[sl], cnt0[sl], amp[sl], damp[sl])
+            dcf = ((g[sl, RC_MODE] & _ROW_DC) != 0)[:, None]
+            nn_ = jnp.arange(FRAG, dtype=jnp.int64)[None, :]
+            dcres = _w32(amp[sl].astype(jnp.int64)[:, None]
+                         + nn_ * damp[sl].astype(jnp.int64)[:, None])
+            res = jnp.where(dcf, dcres.astype(res.dtype), res)
             outs.append(res)                    # (P, 64)
             b0 += P
             continue

@@ -141,6 +141,31 @@ DEVICE_SPECS = [
     ("a2jingle", "Song"),
 ]
 
+# dc rows (STEP mode stays host stash; LINEAR emits device rows) —
+# dctest lives in benchmark/, not test/data
+BENCH_DIR_SPECS = [("dctest", "Song")]
+
+
+@pytest.mark.parametrize("name,prog", BENCH_DIR_SPECS)
+def test_bench_corpus_device(name, prog):
+    from audiality2_tpu.engine.device_render import DeviceRenderer
+    gold = np.fromfile(os.path.join(GOLDEN_DIR,
+                                    f"{name}-5s-44100.raw"),
+                       dtype=np.int32)
+    N = min(len(gold), 3 * 44100)
+    i = a2.open_engine(44100, 4096, 1, batched=False)
+    song = i.get(i.load(f"/root/reference/benchmark/{name}.a2s"),
+                 prog)
+    r = DeviceRenderer(i, channels=1, interpret=True)
+    r.timestamp_reset()
+    r.start(0, song)
+    out = r.render(N, bufsize=31 * 64)
+    fb = r.fell_back
+    r.close()
+    m = N - N % 4096
+    assert (out[0][:m] == gold[:m]).all(), name
+    assert not fb, f"{name} fell back"
+
 
 @pytest.mark.parametrize("name,prog", DEVICE_SPECS)
 def test_corpus_device(name, prog):
