@@ -655,7 +655,14 @@ def compile_superblock(core, frags, oplists, rowbatch):
  SF_P0, SF_P1, SF_P2, SF_P3, SF_P4, SF_P5, SF_P6, SF_SERIAL) = range(23)
 SK_PANMIX, SK_COPY, SK_FBDELAY = 0, 1, 2
 SK_WS, SK_F12, SK_DCB, SK_LIM = 3, 4, 5, 6
+SK_FM, SK_FMP = 7, 8     # fm stage header + op1-3 continuation row
 _FILT_TAG = {SK_F12: "f12", SK_DCB: "dcb", SK_LIM: "lim"}
+# per-kind state-carrying item arr widths + dead-slot columns (the
+# "filters" machinery hosts every instance-batched scan unit: the
+# three filter recurrences and the fm operator graph)
+_FILT_W = {"f12": 13, "dcb": 13, "lim": 13, "fm": 27}
+_FILT_DEAD = {"f12": (2, 3), "dcb": (2, 3), "lim": (2, 3),
+              "fm": (0,)}
 # limiter peak state starts at 32768<<8 (reference limiter.c lim_init)
 _LIM_PEAK0 = 32768 << 8
 
@@ -672,15 +679,18 @@ def program_from_native(rows, stages, stash, F, frag_sizes,
     prog.master_channels = master_channels
     prog.master_inst = 0
 
-    # owner serials -> dense instance indices (0 = master)
+    # owner serials -> dense instance indices (0 = master).  SK_FMP
+    # continuation rows carry raw op params in the SRC/DST columns
+    # and must not leak into the owner set.
     owners = [np.zeros(1, np.int32)]
     if len(rows):
         owners.append(rows[:, RF_OWNER])
     if len(stages):
-        owners.append(stages[:, SF_SRC0])
-        owners.append(stages[:, SF_SRC1])
-        owners.append(stages[:, SF_DST0])
-        owners.append(stages[:, SF_DST1])
+        so = stages[stages[:, SF_KIND] != SK_FMP]
+        owners.append(so[:, SF_SRC0])
+        owners.append(so[:, SF_SRC1])
+        owners.append(so[:, SF_DST0])
+        owners.append(so[:, SF_DST1])
     if len(stash):
         owners.append(stash[:, 0])
     uniq = np.unique(np.concatenate(owners))
@@ -937,6 +947,52 @@ def program_from_native(rows, stages, stash, F, frag_sizes,
                         ni, no, bool(r0[SF_ADD]), sch[:max(ni, 1)],
                         dch[:max(no, 1)]),
                 "serials": serials, "arr": arr, "n": K})
+
+    # ----- fm stages: instance-batched oversampled operator scans
+    # (native a2rt_record.inc fm_record; SK_FM header + SK_FMP op1-3
+    # continuation row).  Per-op `last` persists on the device
+    # between superblocks like filter state. -----
+    if len(stages):
+        fmi = np.nonzero(stages[:, SF_KIND] == SK_FM)[0]
+        if len(fmi):
+            fmh = stages[fmi]
+            fmp = stages[fmi + 1]       # SK_FMP partners
+            fk = (fmh[:, SF_NEST].astype(np.int64) << 48) \
+                | (fmh[:, SF_CHAIN].astype(np.int64) << 40) \
+                | (fmh[:, SF_P0].astype(np.int64) << 16) \
+                | (fmh[:, SF_ADD].astype(np.int64) << 8) \
+                | fmh[:, SF_DCH].astype(np.int64)
+            for key64 in np.unique(fk):
+                m2 = fk == key64
+                rows_k = fmh[m2]
+                prm_k = fmp[m2]
+                serials = [int(s)
+                           for s in np.unique(rows_k[:, SF_SERIAL])]
+                K = len(serials)
+                Smax = max(int((rows_k[:, SF_SERIAL] == s).sum())
+                           for s in serials)
+                arr = np.zeros((Smax, K, 27), np.int32)
+                arr[:, :, 0] = ninst * F       # dead dst
+                for j, ser in enumerate(serials):
+                    sel = rows_k[:, SF_SERIAL] == ser
+                    sr = rows_k[sel]
+                    pr = prm_k[sel]
+                    n = len(sr)
+                    arr[:n, j, 0] = slot(sr[:, SF_DST0],
+                                         sr[:, SF_FRAG])
+                    arr[:n, j, 1] = sr[:, SF_OFF]
+                    arr[:n, j, 2] = sr[:, SF_FRM]
+                    arr[:n, j, 3:9] = sr[:, SF_P1:SF_P6 + 1]
+                    arr[:n, j, 9:27] = pr[:, 1:19]
+                r0 = rows_k[0]
+                nest, chain = int(r0[SF_NEST]), int(r0[SF_CHAIN])
+                sk = int(r0[SF_P0])
+                prog.filters.append({
+                    "kind": "fm",
+                    "key": (-nest, chain, "fm", sk,
+                            bool(r0[SF_ADD]),
+                            (int(r0[SF_DCH]),)),
+                    "serials": serials, "arr": arr, "n": K})
 
     return prog
 
@@ -1726,6 +1782,118 @@ def _apply_filter(slots, kind, sig, arr, state):
     return slots, state
 
 
+_FM_SINE_NP = None
+
+
+def _fm_sine_table():
+    # cache the NUMPY table and convert per trace: caching a jnp
+    # array created inside a jit trace leaks a tracer
+    global _FM_SINE_NP
+    if _FM_SINE_NP is None:
+        from ..units.host_units import _fm_sine
+        _FM_SINE_NP = _fm_sine().astype(np.int32)
+    return jnp.asarray(_FM_SINE_NP)
+
+
+def _apply_fm(slots, sig, arr, state):
+    """The fm family's oversampled operator graph as an instance-
+    batched scan (reference src/units/fm.c fm_process / native
+    a2rt_units.inc fm_run_t).  Each op's phase/amp/fb trajectory is
+    closed-form per sample from the slice snapshot; the op's `last`
+    (which feeds back into its own phase via fb>>17 — the serial
+    recurrence) is the scan carry and persists across superblocks as
+    device state [K, 4] int32 (DeviceMixer._filt_cache).
+
+    sig: (structkey, add, dch); arr int32 [S, K, 27] with per-slice
+    (dst, off, frm) + 4x(ph0, dph, av0, ad, fbv0, fbd), all
+    fragment-frame-0 normalized."""
+    structkey, add, dch = sig
+    nops = (structkey >> 8) & 0xF
+    parallel = (structkey >> 4) & 0xF
+    osbits = (structkey >> 1) & 0x7
+    OS = 1 << osbits
+    a = arr.astype(jnp.int64)
+    nvec = jnp.arange(FRAG, dtype=jnp.int64)[None, :]
+    sine = _fm_sine_table()
+    WPMASK = (2048 << 8) - 1
+
+    def step(carry, ax):
+        slots, st = carry                  # st int32 [K, 4]
+        off = ax[:, 1]
+        frm = ax[:, 2]
+        msk = (nvec >= off[:, None]) & (nvec < (off + frm)[:, None])
+        ph0 = [ax[:, 3 + i * 6] & _M32 for i in range(nops)]
+        dph = [ax[:, 4 + i * 6] & _M32 for i in range(nops)]
+        av0 = [ax[:, 5 + i * 6] for i in range(nops)]
+        ad = [ax[:, 6 + i * 6] for i in range(nops)]
+        fbv0 = [ax[:, 7 + i * 6] for i in range(nops)]
+        fbd = [ax[:, 8 + i * 6] for i in range(nops)]
+        dphs = [d >> osbits for d in dph]
+
+        def istep(c2, xs_):
+            last = list(c2)                # per-op [K] int32
+            actn, nn = xs_
+            avs = [_w32(av0[i] + nn * ad[i]) for i in range(nops)]
+            fbvs = [_w32(fbv0[i] + nn * fbd[i]) for i in range(nops)]
+            phs = [(ph0[i] + nn * dph[i]) & _M32 for i in range(nops)]
+            cand = [x.astype(jnp.int64) for x in last]
+            vsum = jnp.zeros_like(avs[0])
+            for os_ in range(OS):
+                def osc(i, mod):
+                    # fm.c fm_osc: per-op self-feedback into phase
+                    fb = (cand[i] * fbvs[i]) >> 17
+                    ph = ((phs[i] + os_ * dphs[i] + mod + fb)
+                          & _M32) >> 5
+                    pw = ph & WPMASK
+                    ix = (pw >> 8).astype(jnp.int32)
+                    x = pw & 0xFF
+                    s0 = jnp.take(sine, ix).astype(jnp.int64)
+                    s1 = jnp.take(sine, ix + 1).astype(jnp.int64)
+                    cand[i] = (s0 * (256 - x) + s1 * x) >> 8
+                    return _w32((cand[i] * avs[i]) >> 16)
+
+                if parallel == 2:          # ring modulator pairs
+                    if nops == 2:
+                        vv0 = osc(0, jnp.int64(0))
+                        vv1 = osc(1, jnp.int64(0))
+                    else:
+                        vv0 = osc(0, osc(2, jnp.int64(0)))
+                        vv1 = osc(1, osc(3, jnp.int64(0)))
+                    vsum = _w32(vsum + _w32((vv0 * vv1) >> 23))
+                else:
+                    vv = jnp.int64(0)
+                    for i in range(nops - 1, -1, -1):
+                        if i and parallel:
+                            vv = _w32(vv + osc(i, jnp.int64(0)))
+                        else:
+                            vv = osc(i, vv)
+                    vsum = _w32(vsum + vv)
+            out = vsum >> osbits
+            last = [jnp.where(actn, cand[i], last[i].astype(jnp.int64))
+                    .astype(jnp.int32) for i in range(nops)]
+            last += list(c2)[nops:]        # untouched op slots
+            return tuple(last), out
+
+        c0 = tuple(st[:, i] for i in range(4))
+        cf, ys = jax.lax.scan(istep, c0,
+                              (msk.T, jnp.arange(FRAG,
+                                                 dtype=jnp.int64)))
+        out = ys.T                         # [K, 64] int64
+        st2 = jnp.stack(cf, axis=1)
+        # emit (REPLACE as add-of-difference, like _apply_filter)
+        out32 = out.astype(jnp.int32)
+        old = slots[ax[:, 0]][:, dch]
+        if add:
+            d = jnp.where(msk, out32, 0)
+        else:
+            d = jnp.where(msk, out32 - old, 0)
+        slots = slots.at[ax[:, 0], dch].add(d)
+        return (slots, st2), None
+
+    (slots, state), _ = jax.lax.scan(step, (slots, state), a)
+    return slots, state
+
+
 # bounded transfer retry: the deployment relay occasionally drops a
 # transfer (FAILED_PRECONDITION) or stalls; a failed chunk is retried
 # with exponential backoff before the error propagates (where the
@@ -1835,7 +2003,7 @@ def _blob_layout(sig):
             nfbd += 1
         else:
             S, K = extra
-            ent.append((("it", j), (S, K, 13)))
+            ent.append((("it", j), (S, K, _FILT_W[key[2]])))
             nperm += K
     if nfbd:
         ent.append(("fbdpos", (nfbd,)))
@@ -2082,13 +2250,13 @@ class DeviceMixer:
                 arr[:NS] = fd["arr"]
                 fd["arr"] = arr
         for fl in prog.filters:
-            S_, K_ = fl["arr"].shape[:2]
+            S_, K_, W_ = fl["arr"].shape
             Sp = grow(("flS",) + fl["key"], S_)
             Kp = grow(("flK",) + fl["key"], K_)
             if Sp > S_ or Kp > K_:
-                arr = np.zeros((Sp, Kp, 13), np.int32)
-                arr[:, :, 2] = dead
-                arr[:, :, 3] = dead
+                arr = np.zeros((Sp, Kp, W_), np.int32)
+                for c in _FILT_DEAD[fl["kind"]]:
+                    arr[:, :, c] = dead
                 arr[:S_, :K_] = fl["arr"]
                 fl["arr"] = arr
 
@@ -2133,9 +2301,9 @@ class DeviceMixer:
                     continue
                 Sp = max(t["S"], hw.get(("flS",) + key, 0))
                 Kp = max(t["K"], hw.get(("flK",) + key, 0))
-                arr = np.zeros((Sp, Kp, 13), np.int32)
-                arr[:, :, 2] = dead
-                arr[:, :, 3] = dead
+                arr = np.zeros((Sp, Kp, _FILT_W[key[2]]), np.int32)
+                for c in _FILT_DEAD[key[2]]:
+                    arr[:, :, c] = dead
                 prog.filters.append({"kind": key[2], "key": key,
                                      "serials": [], "arr": arr,
                                      "n": 0})
@@ -2216,6 +2384,12 @@ class DeviceMixer:
                         fbd_arrs[fi], fbd_rings[fi], fbd_pos[fi])
                     new_rings.append(ring)
                     fi += 1
+                elif key[2] == "fm":
+                    slots, stf = _apply_fm(
+                        slots, (key[3], key[4], key[5][0]),
+                        filt_arrs[gi], filt_states[gi])
+                    new_filt.append(stf)
+                    gi += 1
                 else:
                     slots, stf = _apply_filter(
                         slots, key[2],
@@ -2291,6 +2465,9 @@ class DeviceMixer:
                         st = jnp.where(pm < 0,
                                        jnp.int64(_LIM_PEAK0),
                                        prev[idx])
+                    elif key[2] == "fm":
+                        st = jnp.where((pm < 0)[:, None],
+                                       0, prev[idx])
                     else:
                         st = jnp.where((pm < 0)[:, None, None],
                                        0, prev[idx])
@@ -2349,6 +2526,7 @@ class DeviceMixer:
         rings = [sd((2, _FBD_BUFSIZE), jnp.int32)
                  for t, _, _ in items if t == "fbd"]
         prevs = [sd((e[1],), jnp.int64) if k[2] == "lim"
+                 else sd((e[1], 4), jnp.int32) if k[2] == "fm"
                  else sd((e[1], 2, 2), jnp.int32)
                  for t, k, e in items if t == "filt"]
         # the stored Compiled is callable with the same arg structure
@@ -2360,8 +2538,12 @@ class DeviceMixer:
     def _init_state(self, kind, K):
         d = self._init_dev.get((kind, K))
         if d is None:
-            d = jnp.full((K,), _LIM_PEAK0, jnp.int64) \
-                if kind == "lim" else jnp.zeros((K, 2, 2), jnp.int32)
+            if kind == "lim":
+                d = jnp.full((K,), _LIM_PEAK0, jnp.int64)
+            elif kind == "fm":
+                d = jnp.zeros((K, 4), jnp.int32)   # per-op `last`
+            else:
+                d = jnp.zeros((K, 2, 2), jnp.int32)
             self._init_dev[(kind, K)] = d
         return d
 

@@ -27,7 +27,10 @@ SPECS = [
     ("envtest", "Song"), ("envtest2", "Song"), ("envtest3", "Song"),
     ("envtest4", "Song"), ("evilnoises", "Song"), ("evtest", "Song"),
     ("fmtest", "Song"), ("fmtest2", "Song"), ("importtest", "Song"),
-    ("importtest2", "Song"), ("microtonal", "Song"), ("miditest", "Song"),
+    ("importtest2", "Song"), ("microtonal", "Song"),
+    # fm family: device operator-graph scans with per-op `last`
+    # state (feedback fm was the last host-computed audio)
+    ("fmtest", "Song"), ("fmtest2", "Song"), ("miditest", "Song"),
     ("noisephase", "Song"), ("pitchenvtest", "Song"), ("ramptest", "Song"),
     ("ramptest2", "Song"), ("ramptestenv", "Song"), ("recursetest", "Song"),
     ("bassline", "Bassline"), ("chords", "Chords"), ("octaves", "Octaves"),
@@ -135,6 +138,9 @@ DEVICE_SPECS = [
     ("ramptestenv", "Song"), ("pitchenvtest", "Song"),
     ("envtest3", "Song"), ("evilnoises", "Song"),
     ("importtest2", "Song"), ("microtonal", "Song"),
+    # fm family: device operator-graph scans with per-op `last`
+    # state (feedback fm was the last host-computed audio)
+    ("fmtest", "Song"), ("fmtest2", "Song"),
     # split-panmix chains (wtosc; panmix 1 2; fbdelay 2 >) across
     # multiple concurrent voices: exercises the drop-channel stage
     # pair, per-slice scratch re-claiming and the in-chain ordering
@@ -143,7 +149,8 @@ DEVICE_SPECS = [
 
 # dc rows (STEP mode stays host stash; LINEAR emits device rows) —
 # dctest lives in benchmark/, not test/data
-BENCH_DIR_SPECS = [("dctest", "Song")]
+BENCH_DIR_SPECS = [("dctest", "Song"), ("fmtest3", "Song"),
+                   ("fmtest4", "Song")]
 
 
 @pytest.mark.parametrize("name,prog", BENCH_DIR_SPECS)
