@@ -53,7 +53,9 @@ def test_render_multiplexed_bit_exact():
     its own content (a fat fm stream must not inflate the others'
     uploads), and all dispatches share one transfer in flight."""
     from audiality2_tpu.serve import render_multiplexed
-    songs = ["k2trance", "k2loader", "dctest"]
+    # fmtest3: device fm stages — per-op `last` state must be
+    # namespaced per stream on the fleet-shared mixer
+    songs = ["k2trance", "k2loader", "dctest", "fmtest3"]
     jobs = [_job(s, 1.0) for s in songs]
     render_multiplexed(jobs, bufsize=31 * 64, interpret=True)
     assert len(jobs[0].renderer.mixer._fns) <= len(songs)
