@@ -224,7 +224,9 @@ class NativeRenderer:
         if maxrows is None:
             maxrows = max(4096, nfrag * 96)
         if maxstages is None:
-            maxstages = max(1024, nfrag * 48)
+            # +16/frag headroom for fm stage pairs (2 rows/slice per
+            # fm instance since the device fm stages)
+            maxstages = max(1024, nfrag * 64)
         if maxstash is None:
             maxstash = max(256, nfrag * 32)
         rows = np.empty((maxrows, ROW_FIELDS), np.int32)
