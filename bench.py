@@ -225,21 +225,49 @@ def bench_osc_kernel(R=16384, samplerate=44100, quality=0):
         return None
 
 
+def _relay_alive(timeout=90.0):
+    """Bounded TPU-backend health probe: the relay sometimes goes
+    fully DOWN and backend init then HANGS (not errors), which would
+    stall the device benches for their full wait_device windows."""
+    import threading
+    ok = []
+
+    def probe():
+        try:
+            import jax
+            ok.append(jax.devices()[0].platform in ("tpu", "axon"))
+        except Exception:
+            ok.append(False)
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout)
+    return bool(ok and ok[0])
+
+
 def main():
+    tpu_up = _relay_alive()
+    if not tpu_up:
+        print("# TPU relay unavailable: native benches only",
+              file=sys.stderr)
     # start the once-per-process TPU kernel warmup now so it overlaps
     # the native benchmarks below
     try:
         from audiality2_tpu.engine.device_render import DeviceRenderer
-        DeviceRenderer._ensure_warm()
+        if tpu_up:
+            DeviceRenderer._ensure_warm()
     except Exception:
         pass
     # best of two runs: the shared cloud host shows ~15% run-to-run
     # variance; peak throughput is the stable, comparable number
     xrt = max(bench_k2trance(), bench_k2trance())
-    dev_total, dev_steady, warm_s = bench_device_path()
-    serving = bench_serving()
-    osc = bench_osc_kernel()
-    osc_lofi = bench_osc_kernel(quality=2)
+    if tpu_up:
+        dev_total, dev_steady, warm_s = bench_device_path()
+        serving = bench_serving()
+        osc = bench_osc_kernel()
+        osc_lofi = bench_osc_kernel(quality=2)
+    else:
+        dev_total = dev_steady = warm_s = serving = None
+        osc = osc_lofi = None
     result = {
         "metric": "k2trance_offline_render",
         "value": round(xrt, 3),
