@@ -1786,12 +1786,17 @@ _FM_SINE_NP = None
 
 
 def _fm_sine_table():
-    # cache the NUMPY table and convert per trace: caching a jnp
-    # array created inside a jit trace leaks a tracer
+    # paired entries (sine[k+1]<<16 | u16(sine[k])): ONE gather per
+    # lerp instead of two (the osc-kernel atlas trick).  Cache the
+    # NUMPY table and convert per trace: caching a jnp array created
+    # inside a jit trace leaks a tracer.
     global _FM_SINE_NP
     if _FM_SINE_NP is None:
         from ..units.host_units import _fm_sine
-        _FM_SINE_NP = _fm_sine().astype(np.int32)
+        t = _fm_sine().astype(np.int64)      # 2049 entries
+        lo = t[:-1] & 0xFFFF
+        hi = t[1:] & 0xFFFF
+        _FM_SINE_NP = ((hi << 16) | lo).astype(np.int32)   # 2048
     return jnp.asarray(_FM_SINE_NP)
 
 
@@ -1847,8 +1852,9 @@ def _apply_fm(slots, sig, arr, state):
                     pw = ph & WPMASK
                     ix = (pw >> 8).astype(jnp.int32)
                     x = pw & 0xFF
-                    s0 = jnp.take(sine, ix).astype(jnp.int64)
-                    s1 = jnp.take(sine, ix + 1).astype(jnp.int64)
+                    pr = jnp.take(sine, ix).astype(jnp.int64)
+                    s0 = ((pr & 0xFFFF) << 48) >> 48   # sext i16
+                    s1 = (pr << 32) >> 48
                     cand[i] = (s0 * (256 - x) + s1 * x) >> 8
                     return _w32((cand[i] * avs[i]) >> 16)
 
