@@ -5,6 +5,7 @@ C reference goldens — no cross-stream state leaks (rings, signatures,
 atlases are per-renderer; only the chip is shared)."""
 
 import numpy as np
+import pytest
 
 import audiality2_tpu as a2
 from audiality2_tpu.serve import StreamJob, render_many
@@ -126,6 +127,24 @@ def test_render_multiplexed_fetch_fault_bridges(monkeypatch):
     assert sum(j.renderer.fell_back for j in jobs) == 1
     for song, j in zip(songs, jobs):
         assert j.error is None
+        gold = np.fromfile(f"{GOLD}/{song}-5s-44100.raw", np.int32)
+        m = j.frames - j.frames % 4096
+        assert (j.output[0][:m] == gold[:m]).all(), song
+
+
+@pytest.mark.slow
+def test_render_multiplexed_soak():
+    """Deep tier: a 6-stream fleet (mixed songs incl. fm + filters +
+    dc) over 4 s each through the TDM pipeline — scale/stability
+    check; every stream bit-exact vs its solo golden."""
+    from audiality2_tpu.serve import render_multiplexed
+    songs = ["k2trance", "k2loader", "dctest", "fmtest3",
+             "pulsetronic", "k2intro"]
+    jobs = [_job(s, 4.0) for s in songs]
+    render_multiplexed(jobs, bufsize=43 * 64, interpret=True)
+    for song, j in zip(songs, jobs):
+        assert j.error is None
+        assert not j.renderer.fell_back, song
         gold = np.fromfile(f"{GOLD}/{song}-5s-44100.raw", np.int32)
         m = j.frames - j.frames % 4096
         assert (j.output[0][:m] == gold[:m]).all(), song
