@@ -26,11 +26,11 @@ SPECS = [
     ("a2jingle", "Song"), ("a2siftest", "Song"), ("constexptest", "Song"),
     ("envtest", "Song"), ("envtest2", "Song"), ("envtest3", "Song"),
     ("envtest4", "Song"), ("evilnoises", "Song"), ("evtest", "Song"),
-    ("fmtest", "Song"), ("fmtest2", "Song"), ("importtest", "Song"),
+    ("fmtest", "Song"), ("fmtest2", "Song"), ("miditest", "Song"), ("importtest", "Song"),
     ("importtest2", "Song"), ("microtonal", "Song"),
     # fm family: device operator-graph scans with per-op `last`
     # state (feedback fm was the last host-computed audio)
-    ("fmtest", "Song"), ("fmtest2", "Song"), ("miditest", "Song"),
+    ("fmtest", "Song"), ("fmtest2", "Song"), ("miditest", "Song"), ("miditest", "Song"),
     ("noisephase", "Song"), ("pitchenvtest", "Song"), ("ramptest", "Song"),
     ("ramptest2", "Song"), ("ramptestenv", "Song"), ("recursetest", "Song"),
     ("bassline", "Bassline"), ("chords", "Chords"), ("octaves", "Octaves"),
@@ -140,7 +140,7 @@ DEVICE_SPECS = [
     ("importtest2", "Song"), ("microtonal", "Song"),
     # fm family: device operator-graph scans with per-op `last`
     # state (feedback fm was the last host-computed audio)
-    ("fmtest", "Song"), ("fmtest2", "Song"),
+    ("fmtest", "Song"), ("fmtest2", "Song"), ("miditest", "Song"),
     # split-panmix chains (wtosc; panmix 1 2; fbdelay 2 >) across
     # multiple concurrent voices: exercises the drop-channel stage
     # pair, per-slice scratch re-claiming and the in-chain ordering
