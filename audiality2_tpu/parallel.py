@@ -1,0 +1,260 @@
+"""Sharded single-render: one song's superblocks data-parallel over
+a jax Mesh.
+
+The voice-tree mix is an integer sum (reference core.c:364-395 bus
+accumulation), so a render parallelizes the scaling-book way: shard
+the oscillator RUNS across the mesh, expand each shard through the
+production run expansion (ramp-requant replay included), psum the
+bus-slot accumulators over ICI, and run the (cheap, serial-ordered)
+bus-stage chain replicated.  Output is bit-exact with the solo
+device path — integer adds commute, and everything after the psum is
+replicated math.
+
+This is the user-facing form of the topology validated by
+__graft_entry__.dryrun_multichip (the driver's multichip gate):
+
+    from audiality2_tpu.parallel import render_sharded
+    out = render_sharded(interface, program, frames)   # all devices
+
+On this deployment only one real TPU chip is visible, so the tests
+exercise it on a virtual host-platform mesh; on real multi-chip
+hardware the same code shards over ICI unchanged.
+
+State-carrying items (fbdelay rings, filter d1/d2 / limiter peak /
+fm per-op `last`) are carried REPLICATED between superblocks: every
+device computes the identical post-psum stage chain, so their states
+stay bitwise identical across the mesh.
+"""
+
+import numpy as np
+
+
+def render_sharded(interface, program, frames, args=(),
+                   n_devices=None, bufsize=None, channels=None,
+                   interpret=None):
+    """Renders `frames` frames of `program` with oscillator runs
+    sharded across a mesh of `n_devices` (default: all JAX devices).
+    Returns [channels][frames] int32, bit-exact with the solo device
+    path (and therefore with the C reference on golden content)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+    from .engine.device_render import DeviceRenderer
+    from .tpu import superblock as SB
+    from .tpu.superblock import program_from_native
+
+    devs = jax.devices()
+    if n_devices is None:
+        n_devices = len(devs)
+    if n_devices > len(devs):
+        raise ValueError("render_sharded: need %d devices, have %d"
+                         % (n_devices, len(devs)))
+    mesh = Mesh(np.array(devs[:n_devices]), axis_names=("voices",))
+
+    r = DeviceRenderer(interface, channels=channels,
+                       interpret=interpret)
+    r.timestamp_reset()
+    r.start(0, program, *args)
+    if bufsize is None:
+        bufsize = min(frames, 1376 * 64)
+    bufsize -= bufsize % 64 or 0
+    # profile pass: ONE jit signature for the whole song
+    r._profile(frames, bufsize)
+    mixer = r.mixer
+
+    fns = {}                 # signature -> compiled sharded fn
+    state = {}               # carried replicated device state
+
+    def init_state(ob):
+        K = ob["arr"].shape[1]
+        if ob["kind"] == "lim":
+            return jnp.full((K,), SB._LIM_PEAK0, jnp.int64)
+        if ob["kind"] == "fm":
+            return jnp.zeros((K, 4), jnp.int32)
+        return jnp.zeros((K, 2, 2), jnp.int32)
+
+    def shard_runs(prog):
+        """Strided run compaction: shard d owns runs d, d+n, ... —
+        striding keeps each shard's rows compact and START-ascending,
+        which the expansion's run-id mapping requires.  Ramp runs'
+        RR_BASE back-pointers are remapped shard-locally."""
+        rmfull = prog.runmat if prog.runmat is not None \
+            else np.zeros((0, SB.BASE_N), np.int32)
+        Nr = rmfull.shape[0]
+        NrR = prog.rampmat.shape[0] if prog.rampmat is not None \
+            else 0
+        Lmax = max(1, (Nr + n_devices - 1) // n_devices)
+        base_shards = []
+        ramp_shards = []
+        for d in range(n_devices):
+            own = np.arange(d, Nr, n_devices)
+            m = np.zeros((Lmax, SB.BASE_N), np.int32)
+            m[:, SB.RC_START] = prog.Rtot
+            m[:, SB.RC_RIDX] = -1
+            m[:len(own)] = rmfull[own]
+            base_shards.append(m)
+            rmp = prog.rampmat.copy() if NrR else \
+                np.zeros((0, SB.RR_N), np.int32)
+            if NrR:
+                local = np.zeros(max(Nr, 1), np.int32)
+                local[own] = np.arange(len(own), dtype=np.int32)
+                owned = np.isin(rmp[:, SB.RR_BASE], own)
+                rmp[:, SB.RR_BASE] = local[rmp[:, SB.RR_BASE]]
+                rmp[~owned, SB.RR_BASE] = 0
+            ramp_shards.append(rmp)
+        return (np.stack(base_shards), np.stack(ramp_shards))
+
+    def build(prog, items):
+        """Compiles the sharded superblock fn for this signature."""
+        rows_sig = tuple((c, NB) for c, NB, _ in prog.class_blocks)
+        Rtot = prog.Rtot
+        ninst, F = prog.ninst, prog.F
+        nslot = ninst * F + 1
+        mch = prog.master_channels
+        ramppad = (prog.rampmat.shape[0]
+                   if prog.rampmat is not None else 0)
+        has_stash = prog.stash_audio is not None \
+            and len(prog.stash_audio) > 0
+        has_mono = getattr(prog, "stash_mono", None) is not None \
+            and len(prog.stash_mono) > 0
+        keys = [(tag, key, {"stereoin": ob.get("stereoin"),
+                            "stereoout": ob.get("stereoout"),
+                            "add": ob.get("add"),
+                            "chunk": ob.get("chunk")})
+                for tag, key, ob, _ in items]
+
+        def fn(atlas, tb, rm, rmp, sa, ss, sm, sms, st_in, fa_in,
+               fr_in, fp_in, la_in, ls_in):
+            slots = jnp.zeros((nslot, 2, SB.FRAG), jnp.int32)
+            if Rtot:
+                slots = SB._expand_rows(
+                    slots, atlas, rows_sig, tb, rm[0], rmp[0],
+                    ninst * F, mixer.interpret, ramppad > 0,
+                    mixer.quality)
+            slots = jax.lax.psum(slots, axis_name="voices")
+            if has_stash:
+                slots = slots.at[ss].add(sa)
+            if has_mono:
+                slots = slots.at[sms, 0].add(sm)
+            si = fi = gi = 0
+            new_rings = []
+            new_filt = []
+            for tag, key, ex in keys:
+                if tag == "stage":
+                    slots = SB._apply_stage(slots, key, st_in[si])
+                    si += 1
+                elif tag == "fbd":
+                    slots, ring = SB._apply_fbdelay(
+                        slots, (ex["stereoin"], ex["stereoout"],
+                                ex["add"], ex["chunk"]),
+                        fa_in[fi], fr_in[fi], fp_in[fi])
+                    new_rings.append(ring)
+                    fi += 1
+                elif key[2] == "fm":
+                    slots, stf = SB._apply_fm(
+                        slots, (key[3], key[4], key[5][0]),
+                        la_in[gi], ls_in[gi])
+                    new_filt.append(stf)
+                    gi += 1
+                else:
+                    slots, stf = SB._apply_filter(
+                        slots, key[2],
+                        (key[3], key[4], key[5], key[6], key[7]),
+                        la_in[gi], ls_in[gi])
+                    new_filt.append(stf)
+                    gi += 1
+            master = slots[:F, :mch]
+            return master, new_rings, new_filt
+
+        nst = sum(1 for t, _, _ in keys if t == "stage")
+        nfb = sum(1 for t, _, _ in keys if t == "fbd")
+        nfl = sum(1 for t, _, _ in keys if t == "filt")
+        return jax.jit(shard_map(
+            fn, mesh=mesh,
+            in_specs=(P(), P(), P("voices"), P("voices"), P(), P(),
+                      P(), P(), (P(),) * nst, (P(),) * nfb,
+                      (P(),) * nfb, P(), (P(),) * nfl,
+                      (P(),) * nfl),
+            out_specs=(P(), [P()] * nfb, [P()] * nfl),
+            check_vma=False))
+
+    out = []
+    n = 0
+    z32 = jnp.zeros((0,), jnp.int32)
+    while n < frames:
+        rows, stages, stash, nfrag = r.nr.record(bufsize)
+        prog = program_from_native(rows, stages, stash, nfrag,
+                                   [64] * (bufsize // 64),
+                                   r.atlas_entry, r.master_channels)
+        r._tag_prog(prog)
+        mixer._repad(prog)
+        items = []
+        for st in prog.stages:
+            items.append(("stage", st["key"], st, ""))
+        for fd in prog.fbdelays:
+            items.append(("fbd", fd["key"], fd,
+                          str(fd["unit_id"])))
+        for fl in prog.filters:
+            items.append(("filt", fl["key"], fl, ""))
+        items.sort(key=lambda t: (t[1], t[3]))
+        sig = mixer._signature(prog)
+        if sig not in fns:
+            fns[sig] = build(prog, items)
+        for tag, key, ob, tie in items:
+            if tag == "fbd" and ("fbd", key, tie) not in state:
+                state[("fbd", key, tie)] = (
+                    jnp.zeros((2, SB._FBD_BUFSIZE), jnp.int32), 0)
+            elif tag == "filt" and ("filt", key) not in state:
+                state[("filt", key)] = init_state(ob)
+        rm_sh, rmp_sh = shard_runs(prog)
+        sa = jnp.asarray(prog.stash_audio) \
+            if prog.stash_audio is not None \
+            and len(prog.stash_audio) else z32
+        ss = jnp.asarray(prog.stash_slot) \
+            if prog.stash_audio is not None \
+            and len(prog.stash_audio) else z32
+        sm = getattr(prog, "stash_mono", None)
+        sms = jnp.asarray(prog.stash_mono_slot) \
+            if sm is not None and len(sm) else z32
+        sm = jnp.asarray(sm) if sm is not None and len(sm) else z32
+        st_in = tuple(jnp.asarray(ob["arr"])
+                      for t, _, ob, _ in items if t == "stage")
+        fa_in = tuple(jnp.asarray(ob["arr"])
+                      for t, _, ob, _ in items if t == "fbd")
+        fr_in = tuple(state[("fbd", key, tie)][0]
+                      for t, key, ob, tie in items if t == "fbd")
+        fp_in = jnp.asarray(
+            [state[("fbd", key, tie)][1] & (SB._FBD_BUFSIZE - 1)
+             for t, key, ob, tie in items if t == "fbd"]
+            or [0], dtype=jnp.int32)
+        la_in = tuple(jnp.asarray(ob["arr"])
+                      for t, _, ob, _ in items if t == "filt")
+        ls_in = tuple(state[("filt", key)]
+                      for t, key, ob, _ in items if t == "filt")
+        master, rings, filts = fns[sig](
+            mixer._atlas(), [jnp.asarray(tb) for _, _, tb
+                             in prog.class_blocks],
+            jnp.asarray(rm_sh), jnp.asarray(rmp_sh), sa, ss, sm,
+            sms, st_in, fa_in, fr_in, fp_in, la_in, ls_in)
+        ri = gi = 0
+        for t, key, ob, tie in items:
+            if t == "fbd":
+                nf = int(ob["arr"][:, 5].sum())
+                pos = state[("fbd", key, tie)][1]
+                state[("fbd", key, tie)] = (
+                    rings[ri], (pos + nf) % SB._FBD_BUFSIZE)
+                ri += 1
+            elif t == "filt":
+                state[("filt", key)] = filts[gi]
+                gi += 1
+        m = np.asarray(master)        # [F, mch, FRAG]
+        keep = min(bufsize, frames - n)
+        flat = m.transpose(1, 0, 2).reshape(r.master_channels, -1)
+        out.append(flat[:, :keep])
+        n += bufsize
+    r.close()
+    return np.concatenate(out, axis=1)
