@@ -157,6 +157,11 @@ def main(argv=None):
                     help="MIDI handler mode (a2play -M): run the "
                          "program as an EP-7 MIDI handler and feed it "
                          "the given Standard MIDI File")
+    ap.add_argument("--shards", type=int, default=None,
+                    help="shard ONE render across N devices "
+                         "(jax Mesh; oscillator runs data-parallel, "
+                         "bus slots psum over ICI) — bit-exact with "
+                         "the solo path")
     ap.add_argument("--tpu", action="store_true",
                     help="render through the TPU device path "
                          "(native record -> superblock mixer; "
@@ -221,6 +226,26 @@ def main(argv=None):
     renderer = None
     if args.midi:
         use_native = False        # MIDI driver runs on the host engine
+    if args.shards and not args.midi:
+        from .parallel import render_sharded
+        total = int(args.stoptime * args.rate)
+        t0 = time.perf_counter()
+        audio = render_sharded(i, prog,
+                               total, args=[float(a) for a in pargs],
+                               n_devices=args.shards,
+                               channels=args.channels)
+        dt = time.perf_counter() - t0
+        print(f"a2play-tpu: rendered {total} frames "
+              f"({total / args.rate:.2f} s) sharded over "
+              f"{args.shards} devices in {dt:.2f} s "
+              f"({total / args.rate / dt:.1f}x realtime)")
+        if args.output:
+            flat = (audio[0] if args.channels == 1 else
+                    np.stack(list(audio[:args.channels]), axis=1)
+                    .reshape(-1))
+            write_wav(args.output, flat, args.rate, args.channels)
+            print(f"a2play-tpu: wrote {args.output}")
+        return 0
     if args.tpu and not args.midi:
         from .engine.device_render import DeviceRenderer
         # a 16-bit PCM sink makes the on-device int16 readback
