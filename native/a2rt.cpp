@@ -209,11 +209,14 @@ struct State;
 
 /* ---- unit instances ---- */
 struct Unit {
-    int kind;
+    /* chain-walk + dispatch fields first (one line): the voice loop
+       reads next/process once per (unit, slice) call */
+    Unit *next;
     /* direct process pointer, set at unit_init like the reference's
        per-instance Process field (a2_units.h) — avoids a switch per
        (unit, slice) call in the hot voice loop */
     void (*process)(State *st, Unit *u, int offset, int frames);
+    int kind;
     int ninputs, noutputs;
     u32 flags;
     i32 *inputs[MAXCH];
@@ -221,7 +224,6 @@ struct Unit {
     Voice *voice;
     State *st;
     int regbase;
-    Unit *next;
 
     /* per-kind state (union-style; simple members for clarity) */
     /* wtosc */
@@ -283,21 +285,27 @@ struct Unit {
 
 /* ---- voices ---- */
 struct Voice {
+    /* The first cache line holds everything a sleeping voice's
+       per-fragment visit touches (process_voices -> process_voice ->
+       process_vm_ev fast path + the unit-chain head): the tree walk
+       itself is the dominant control-plane cost at ~23M visits per
+       500 s render, so these fields must not straddle the 256 B of
+       r[] or the 1 KB of cregs[]. */
     Voice *next;
+    Voice *sub;         /* newest first */
+    Unit *units;
     Event *events;
-    Program *program;
-    /* VM state */
     u32 waketime;
     int vstate;        /* 0 run 1 wait 2 irq 3 ending 4 finalizing */
+    u32 flags;
     u32 func, pc;
+    Program *program;
+    /* VM state */
     i32 r[NREGS];
     i32 handle;
-    u32 flags;
     int nestlevel;
     int ncregs;
     struct CReg { Unit *unit; int idx; } cregs[NREGS];
-    Unit *units;
-    Voice *sub;         /* newest first */
     Voice *sv[SV_LUT];
     int noutputs;
     i32 **outputs;      /* points at bus channel pointer array;
@@ -688,6 +696,14 @@ int a2rt_last_error(State *st) { return st->last_error; }
 /* Render `frames` frames; writes master channel 0..channels-1
  * interleaved=no: planar into out (frames per channel). */
 int a2rt_run(State *st, int frames, i32 *out) {
+#ifdef A2RT_PROF
+    extern unsigned long long g_runcyc;
+    unsigned long long prof_t0 = __rdtsc();
+    struct RunProf {
+        unsigned long long t0;
+        ~RunProf() { g_runcyc += __rdtsc() - t0; }
+    } prof_guard{prof_t0};
+#endif
     st->now_frames = st->now_fragstart + ((u32)frames << 8);
     /* pump API messages (engine/core.py pump_api_messages) */
     for (size_t i = 0; i < st->apimsgs.size(); ++i) {
