@@ -419,10 +419,17 @@ struct State {
     i64 rec_epoch;      /* bumped per a2rt_record call; stale
                            voice->run_epoch never matches */
     struct RecBufs *rec;
-    std::unordered_map<i32 *, i64> busowner;
-    std::unordered_map<i32 *, int> buschan;
-    std::unordered_map<i32 *, int> busfrag;  /* last claim fragment */
-    std::unordered_set<i32 *> busgen;   /* buffers claimed by a gen */
+    /* Per-buffer record metadata (owner serial / slot channel / last
+       claim fragment / gen-claimed), keyed by the buffer pointer.
+       All keys come from the pooled Bus objects (master + one per
+       nestlevel, MAXCH channels each), so the key space is tiny and
+       stable — a flat open-addressed table replaces what used to be
+       four unordered_map/set lookups per chain-unit slice (the
+       dominant record-pass cost after the ramper sim). Entries are
+       never removed; "erased" owners go back to -1. */
+    struct BusMeta { i32 *buf; i64 owner; i32 chan, frag, gen; };
+    static const int BUSMETA_SZ = 512;      /* pow2 >> ~72 live keys */
+    BusMeta busmeta[BUSMETA_SZ];
     i64 unit_serial;
 
     std::vector<ApiMsg> apimsgs;
@@ -441,6 +448,7 @@ struct State {
               recording(0), hostsub_active(0), rec_epoch(0),
               rec(nullptr), unit_serial(1) {
         memset(scratch, 0, sizeof(scratch));
+        memset(busmeta, 0, sizeof(busmeta));
     }
 
     Event *alloc_event() {
@@ -765,8 +773,9 @@ int a2rt_record(State *st, int frames,
     st->recording = 1;
     ++st->rec_epoch;
     for (int c = 0; c < st->master->channels; ++c) {
-        st->busowner[st->master->bufs[c]] = 0;
-        st->buschan[st->master->bufs[c]] = c;
+        State::BusMeta *m = bus_meta(st, st->master->bufs[c]);
+        m->owner = 0;
+        m->chan = c;
     }
 
     st->now_frames = st->now_fragstart + ((u32)frames << 8);
