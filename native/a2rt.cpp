@@ -281,6 +281,19 @@ struct Unit {
     i32 sim_pramping;
     u32 sim_dphraw;
     u64 sim_phase;          /* mip-scaled kernel-domain phase */
+    /* live PRE-prepare state at the current slice, captured at the
+       top of the record call (wtosc/dc: a + pitch; panmix: vol +
+       pan).  sim_predict_match compares it to the sim snapshot
+       directly: state equality implies the device's prepare-replay
+       reproduces the candidate (candidates are prepare-derived), so
+       the old per-fragment re-prepare — up to four integer divisions
+       per slice — is unnecessary.  Non-prepare ramper bookkeeping
+       (dc STEP's manual timer countdown) always mutates the state,
+       so it can never merge wrongly — it breaks the run instead. */
+    Ramper pre_a, pre_b;
+    i32 pre_pramping;
+    u32 pre_dphraw;
+    u64 pre_phase;
 };
 
 /* ---- voices ---- */
