@@ -78,3 +78,30 @@ def test_native_voice_stats():
     r.run(1024)
     assert r.activevoices >= 2        # root + P
     r.close()
+
+
+def test_record_run_compression_regression():
+    """Guard the record pass's run compression level: the device
+    path's upload floor is proportional to emitted rows, so a silent
+    compression regression (e.g. in the ramp-extension gate,
+    rec_commit or sim_predict_match) would tank device throughput
+    without failing any exactness test.  Measured on k2trance's first
+    24 s at 12 s superblocks: 317,960 rows / 16,536 fragments =
+    19.2 rows per fragment (~2.5x slice-level compression).  Bound
+    set ~8% above; lower is better."""
+    from audiality2_tpu.native import NativeRenderer
+    i = a2.open_engine(44100, 4096, 1, batched=False)
+    song = i.get(i.load(f"{BENCH_DIR}/k2trance.a2s"), "Song")
+    r = NativeRenderer(i, channels=1)
+    r.timestamp_reset()
+    r.start(0, song)
+    sb = 12 * 44100 // 64 * 64
+    rows = frags = 0
+    for _ in range(2):
+        res = r.record(sb)
+        rows += len(res[0])
+        frags += res[3]
+    r.close()
+    assert rows / frags < 20.8, (
+        f"run compression regressed: {rows} rows / {frags} fragments "
+        f"= {rows / frags:.1f} rows/fragment (expected ~19.2)")
