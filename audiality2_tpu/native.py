@@ -73,8 +73,57 @@ def load_lib():
                                 C.POINTER(C.c_int32), C.c_int,
                                 C.POINTER(C.c_int32)]
     lib.a2rt_record.restype = C.c_int
+    p32 = C.POINTER(C.c_int32)
+    lib.a2rt_layout_runs.argtypes = [
+        p32, C.c_int,            # rows, Nr
+        p32, C.c_int,            # inst_of LUT, F
+        p32, p32, p32,           # atlas tb/np/off LUTs
+        p32, C.c_int,            # pass classes, npc
+        p32, p32,                # out runmat, rampmat
+        p32, p32, p32]           # out nb_per_class, tb_blocks, meta
+    lib.a2rt_layout_runs.restype = C.c_int
     _LIB = lib
     return lib
+
+
+def layout_runs(rows, inst_of, F, tb_l, np_l, off_l, pass_classes):
+    """Native run layout (a2rt_layout_runs): byte-identical to
+    tpu/superblock._build_runs, at memcpy speed.  Returns
+    (runmat[Nr, 18], rampmat[nramp, 14], nb_per_class[npc + 1],
+    tb_blocks, Rtot) or None when the native path can't apply
+    (Nr >= 2^24)."""
+    lib = load_lib()
+    Nr = len(rows)
+    p32 = C.POINTER(C.c_int32)
+
+    def a(x):
+        return np.ascontiguousarray(x, np.int32)
+
+    rows = a(rows)
+    inst_of = a(inst_of)
+    tb_l, np_l, off_l = a(tb_l), a(np_l), a(off_l)
+    pc = a(pass_classes)
+    runmat = np.empty((Nr, 18), np.int32)
+    rampmat = np.empty((Nr, 14), np.int32)
+    npc = len(pc)
+    nb = np.zeros(npc + 1, np.int32)
+    # cap: <= one block per run plus one per bucket tail per class
+    # (column 16 = RF_LEN, native/a2rt_record.inc row layout)
+    cap = (int(rows[:, 16].sum()) // 128 + Nr + npc + 2) if Nr else 8
+    tb_blocks = np.empty(cap, np.int32)
+    meta = np.zeros(2, np.int32)
+    err = lib.a2rt_layout_runs(
+        rows.ctypes.data_as(p32), Nr,
+        inst_of.ctypes.data_as(p32), int(F),
+        tb_l.ctypes.data_as(p32), np_l.ctypes.data_as(p32),
+        off_l.ctypes.data_as(p32),
+        pc.ctypes.data_as(p32), npc,
+        runmat.ctypes.data_as(p32), rampmat.ctypes.data_as(p32),
+        nb.ctypes.data_as(p32), tb_blocks.ctypes.data_as(p32),
+        meta.ctypes.data_as(p32))
+    if err:
+        return None
+    return runmat, rampmat[:meta[0]], nb, tb_blocks, int(meta[1])
 
 
 # field layouts of the native record buffers (native/a2rt_record.inc)

@@ -243,11 +243,37 @@ def _build_runs(prog, cls_arr, tbase, posoff, ph_hi, ph_lo, dph,
         prog.Rtot = 0
         prog.has_ramp = False
         return
-    lens = lens.astype(np.int64)
+    # assemble the run matrix UNSORTED first (contiguous column
+    # writes), then apply the sort as ONE row gather — 17 separate
+    # `x[order]` gathers each re-walk the permutation cache-hostilely
+    # and dominated the build at ~180k runs/superblock
+    m = np.empty((Nr, RC_N), np.int32)
+    m[:, RC_LEN] = lens
+    m[:, RC_DPH] = dph
+    m[:, RC_SIZE] = modsize
+    m[:, RC_POSOFF] = posoff
+    m[:, RC_AMP0] = amp0
+    m[:, RC_DAMP] = damp
+    m[:, RC_VOL0] = vol0
+    m[:, RC_DVOL] = dvol
+    m[:, RC_PAN0] = pan0
+    m[:, RC_DPAN] = dpan
+    m[:, RC_SLOT] = slot0
+    m[:, RC_MODE] = mode
+    m[:, RC_OFF] = off0
+    m[:, RC_TOTAL] = total
+    m[:, RC_PHHI] = ph_hi
+    m[:, RC_PHLO] = ph_lo
+    if extra is not None:
+        # ramper-replay snapshot columns RC_RAMP..RC_PERIOD
+        m[:, RC_RAMP:RC_N] = extra
+    else:
+        m[:, RC_RAMP:RC_N] = 0
     order = np.lexsort((tbase, cls_arr))
+    m = m[order]
     cls_s = cls_arr[order]
     tb_s = tbase[order]
-    len_s = lens[order]
+    len_s = m[:, RC_LEN].astype(np.int64)
     bkey = (cls_s.astype(np.int64) << 32) | tb_s
     newb = np.empty(Nr, bool)
     newb[0] = True
@@ -280,28 +306,7 @@ def _build_runs(prog, cls_arr, tbase, posoff, ph_hi, ph_lo, dph,
     bid = np.cumsum(newb) - 1
     cum = np.cumsum(len_s) - len_s
     start = bucket_base[bid] + (cum - cum[bstart][bid])
-
-    m = np.zeros((Nr, RC_N), np.int32)
     m[:, RC_START] = start
-    m[:, RC_LEN] = len_s
-    m[:, RC_DPH] = dph[order]
-    m[:, RC_SIZE] = modsize[order]
-    m[:, RC_POSOFF] = posoff[order]
-    m[:, RC_AMP0] = amp0[order]
-    m[:, RC_DAMP] = damp[order]
-    m[:, RC_VOL0] = vol0[order]
-    m[:, RC_DVOL] = dvol[order]
-    m[:, RC_PAN0] = pan0[order]
-    m[:, RC_DPAN] = dpan[order]
-    m[:, RC_SLOT] = slot0[order]
-    m[:, RC_MODE] = mode[order]
-    m[:, RC_OFF] = off0[order]
-    m[:, RC_TOTAL] = total[order]
-    m[:, RC_PHHI] = ph_hi[order]
-    m[:, RC_PHLO] = ph_lo[order]
-    if extra is not None:
-        # ramper-replay snapshot columns RC_RAMP..RC_PERIOD
-        m[:, RC_RAMP:RC_N] = extra[order]
     ramp_sel = m[:, RC_RAMP] != 0
     nramp = int(ramp_sel.sum())
     ridx = np.full(Nr, -1, np.int32)
@@ -722,29 +727,56 @@ def program_from_native(rows, stages, stash, F, frag_sizes,
         for key in uw:
             t, n_, o_ = atlas_entry(int(key) // 16, int(key) % 16)
             tb_l[key], np_l[key], off_l[key] = t, n_, o_
-        tbase = np.where(noise, 0, tb_l[wm]).astype(np.int32)
-        npass = np_l[wm]
-        posoff = np.where(noise, rows[:, RF_NLAST],
-                          off_l[wm]).astype(np.int32)
-        cls_idx = np.searchsorted(OK.PASS_CLASSES, npass)
-        cls_arr = np.asarray(OK.PASS_CLASSES, np.int32)[cls_idx]
-        cls_arr = np.where(noise, 0, cls_arr).astype(np.int32)
-        modsize = np.where(noise, rows[:, RF_NS0],
-                           rows[:, RF_SIZE]).astype(np.int32)
-        extra = np.empty((R, RC_N - RC_RAMP), np.int32)
-        extra[:, 0] = rows[:, RF_RAMP]
-        extra[:, 1] = rows[:, RF_MIP]
-        extra[:, 2:] = rows[:, RF_AT:RF_PERIOD + 1]
-        _build_runs(
-            prog, cls_arr, tbase, posoff,
-            rows[:, RF_PH_HI], rows[:, RF_PH_LO], rows[:, RF_DPH],
-            modsize, rows[:, RF_AMP0], rows[:, RF_DAMP],
-            rows[:, RF_VOL0], rows[:, RF_DVOL], rows[:, RF_PAN0],
-            rows[:, RF_DPAN],
-            slot(rows[:, RF_OWNER], rows[:, RF_FRAG])
-            .astype(np.int32),
-            rows[:, RF_MODE], rows[:, RF_OFF], rows[:, RF_TOTAL],
-            rows[:, RF_LEN], extra)
+        lay = None
+        try:
+            from ..native import layout_runs
+            lay = layout_runs(rows, inst_of, F, tb_l, np_l, off_l,
+                              np.asarray(OK.PASS_CLASSES, np.int32))
+        except Exception:
+            lay = None
+        if lay is not None:
+            # native layout (a2rt_layout_runs): byte-identical to
+            # _build_runs below, ~10x faster — the run layout was the
+            # dominant host build cost and the host build caps
+            # aggregate serving throughput
+            runmat, rampmat, nb, tb_blocks, rtot = lay
+            prog.runmat = runmat
+            prog.rampmat = rampmat
+            prog.nruns = R
+            prog.has_ramp = len(rampmat) > 0
+            blocks = []
+            pos = 0
+            for ci, c in enumerate(ALL_CLASSES):
+                NB = int(nb[ci])
+                blocks.append((c, NB,
+                               tb_blocks[pos:pos + NB].copy()))
+                pos += NB
+            prog.class_blocks = blocks
+            prog.Rtot = rtot
+        else:
+            tbase = np.where(noise, 0, tb_l[wm]).astype(np.int32)
+            npass = np_l[wm]
+            posoff = np.where(noise, rows[:, RF_NLAST],
+                              off_l[wm]).astype(np.int32)
+            cls_idx = np.searchsorted(OK.PASS_CLASSES, npass)
+            cls_arr = np.asarray(OK.PASS_CLASSES, np.int32)[cls_idx]
+            cls_arr = np.where(noise, 0, cls_arr).astype(np.int32)
+            modsize = np.where(noise, rows[:, RF_NS0],
+                               rows[:, RF_SIZE]).astype(np.int32)
+            extra = np.empty((R, RC_N - RC_RAMP), np.int32)
+            extra[:, 0] = rows[:, RF_RAMP]
+            extra[:, 1] = rows[:, RF_MIP]
+            extra[:, 2:] = rows[:, RF_AT:RF_PERIOD + 1]
+            _build_runs(
+                prog, cls_arr, tbase, posoff,
+                rows[:, RF_PH_HI], rows[:, RF_PH_LO], rows[:, RF_DPH],
+                modsize, rows[:, RF_AMP0], rows[:, RF_DAMP],
+                rows[:, RF_VOL0], rows[:, RF_DVOL], rows[:, RF_PAN0],
+                rows[:, RF_DPAN],
+                slot(rows[:, RF_OWNER], rows[:, RF_FRAG])
+                .astype(np.int32),
+                rows[:, RF_MODE], rows[:, RF_OFF], rows[:, RF_TOTAL],
+                rows[:, RF_LEN], extra)
 
     # ----- stash -----
     # mono patches (the common case: fm/noise/dc leaf voices) upload

@@ -23,6 +23,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <cmath>
+#include <algorithm>
 #include <vector>
 #include <unordered_map>
 #include <unordered_set>
@@ -529,6 +530,7 @@ static void voice_free(State *st, Voice **head);
 
 #include "a2rt_units.inc"
 #include "a2rt_record.inc"
+#include "a2rt_layout.inc"
 #include "a2rt_vm.inc"
 
 /* =========================================================
