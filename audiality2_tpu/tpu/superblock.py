@@ -894,17 +894,14 @@ def program_from_native(rows, stages, stash, F, frag_sizes,
                                 "arr": arr, "n": n})
         prog.stages.sort(key=lambda st: st["key"])
         fbd = S[skind == SK_FBDELAY]
-        fbd_groups = {}
-        for serial in np.unique(fbd[:, SF_SERIAL]):
-            fbd_groups[int(serial)] = list(
-                fbd[fbd[:, SF_SERIAL] == serial])
         filt = S[(skind == SK_F12) | (skind == SK_DCB)
                  | (skind == SK_LIM)]
     else:
-        fbd_groups = {}
+        fbd = np.zeros((0, SF_N), np.int32)
         filt = np.zeros((0, SF_N), np.int32)
-    for serial, srows in fbd_groups.items():
-        s0 = srows[0]
+    for serial in np.unique(fbd[:, SF_SERIAL]) if len(fbd) else ():
+        sr = fbd[fbd[:, SF_SERIAL] == serial]
+        s0 = sr[0]
         if F * FRAG + (1 << 17) > _FBD_BUFSIZE:
             # the vectorized reader taps need the whole superblock +
             # max reference delay to fit the ring without wrapping
@@ -912,16 +909,16 @@ def program_from_native(rows, stages, stash, F, frag_sizes,
         # chunk bound: only the FEEDBACK delay serializes (reader
         # taps are vectorized against the final ring), so the chunk
         # grows to the fb tap's span, not min(fb, ld, rd)
-        mind = min(int(x[SF_P0]) for x in srows)
+        mind = int(sr[:, SF_P0].min())
         C = 1
         while C * 2 * FRAG <= mind and C < 1024:
             C *= 2
-        ns = _pow2(len(srows), C)
+        n = len(sr)
+        ns = _pow2(n, C)
         ns = ((ns + C - 1) // C) * C
         arr = np.zeros((ns, 13), np.int32)
         arr[:, :4] = ninst * F     # dead src/dst: keeps the emit's
-        sr = np.asarray(srows)     # sorted-segment invariant
-        n = len(srows)
+        # sorted-segment invariant
         arr[:n, 0] = slot(sr[:, SF_SRC0], sr[:, SF_FRAG])
         arr[:n, 1] = slot(sr[:, SF_SRC1], sr[:, SF_FRAG])
         arr[:n, 2] = slot(sr[:, SF_DST0], sr[:, SF_FRAG])
@@ -930,11 +927,11 @@ def program_from_native(rows, stages, stash, F, frag_sizes,
         arr[:n, 5] = sr[:, SF_FRM]
         arr[:n, 6:13] = sr[:, SF_P0:SF_P6 + 1]
         prog.fbdelays.append({
-            "unit_id": serial, "key": (-int(s0[SF_NEST]),
-                                       int(s0[SF_CHAIN])),
+            "unit_id": int(serial), "key": (-int(s0[SF_NEST]),
+                                            int(s0[SF_CHAIN])),
             "stereoin": int(s0[SF_NI]) == 2,
             "stereoout": int(s0[SF_NO]) == 2,
-            "add": bool(s0[SF_ADD]), "arr": arr, "n": len(srows),
+            "add": bool(s0[SF_ADD]), "arr": arr, "n": n,
             "chunk": C})
 
     # ----- filter12 / dcblock / limiter: instance-batched per-sample
