@@ -90,7 +90,8 @@ class DeviceRenderer:
     _NS_COUNTER = [0]
 
     def __init__(self, interface, channels=None, interpret=None,
-                 transfer_lock=None, readback="exact", mixer=None):
+                 transfer_lock=None, readback="exact", mixer=None,
+                 stage_mode="exact"):
         from ..tpu.superblock import DeviceMixer
         self.i = interface
         self.nr = NativeRenderer(interface, channels=channels)
@@ -108,7 +109,8 @@ class DeviceRenderer:
             self.mixer = DeviceMixer(self, interpret=interpret,
                                      transfer_lock=transfer_lock,
                                      readback=readback,
-                                     quality=quality)
+                                     quality=quality,
+                                     stage_mode=stage_mode)
             self._shared = False
         else:
             # SHARED mixer (serve.render_multiplexed): one jit

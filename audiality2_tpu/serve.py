@@ -49,7 +49,8 @@ class StreamJob:
 
 def render_many(jobs, bufsize=None, serialize_transfers=True,
                 interpret=None, profile=True, readback="exact",
-                stagger=True, stagger_timeout=180.0):
+                stagger=True, stagger_timeout=180.0,
+                stage_mode="exact"):
     """Renders all jobs concurrently on the device path.  Each job's
     output is bit-exact with a solo render (streams share no mutable
     state beyond the device itself).  Returns the job list with
@@ -67,7 +68,7 @@ def render_many(jobs, bufsize=None, serialize_transfers=True,
     for j in jobs:
         r = DeviceRenderer(j.interface, channels=j.channels,
                            interpret=interpret, transfer_lock=lock,
-                           readback=readback)
+                           readback=readback, stage_mode=stage_mode)
         r.timestamp_reset()
         r.start(0, j.program, *j.args)
         j.renderer = r
@@ -113,7 +114,8 @@ class _SharedCore:
 
 
 def render_multiplexed(jobs, bufsize=None, readback="exact",
-                       interpret=None, profile=True):
+                       interpret=None, profile=True,
+                       stage_mode="exact"):
     """Time-division-multiplexed serving: ONE scheduler drives all
     streams through ONE shared DeviceMixer, rotating per superblock —
     record stream A's next superblock while the chip computes B's and
@@ -136,7 +138,8 @@ def render_multiplexed(jobs, bufsize=None, readback="exact",
     from .tpu.superblock import DeviceMixer, program_from_native
 
     core = _SharedCore()
-    mixer = DeviceMixer(core, interpret=interpret, readback=readback)
+    mixer = DeviceMixer(core, interpret=interpret, readback=readback,
+                        stage_mode=stage_mode)
     if bufsize is None:
         bufsize = 1376 * 64
     bufsize -= bufsize % 64 or 0
