@@ -91,7 +91,7 @@ class DeviceRenderer:
 
     def __init__(self, interface, channels=None, interpret=None,
                  transfer_lock=None, readback="exact", mixer=None,
-                 stage_mode="exact"):
+                 stage_mode="exact", pipeline_depth=3):
         from ..tpu.superblock import DeviceMixer
         self.i = interface
         self.nr = NativeRenderer(interface, channels=channels)
@@ -127,6 +127,14 @@ class DeviceRenderer:
                     % (mixer.quality, quality))
         self.fell_back = False
         self.bridged_frames = 0  # rendered natively during warmup
+        # dispatched-but-unfetched superblocks kept in flight: the
+        # relay adds ~200-400 ms of completion-poll latency per
+        # blocking fetch, while the device itself finishes a 12 s
+        # superblock in ~190 ms — keeping several programs enqueued
+        # amortizes the poll latency across the window (measured
+        # 389 ms blocking one-at-a-time vs 212 ms/superblock at
+        # depth 8 on the same program)
+        self.pipeline_depth = max(1, int(pipeline_depth))
         self._calls = []         # replayed on native fallback
         self._pending = None     # (prog, frames) in-flight superblock
         if not self.mixer.interpret:
@@ -292,23 +300,52 @@ class DeviceRenderer:
             else:
                 chunks.append(np.stack(bufs))
 
-        # four-slot pipeline, all concurrently busy in steady state:
+        # deep pipeline, all concurrently busy in steady state:
         #   main thread:     record+build superblock N
         #   dispatch thread: upload superblock N-1 (mixer.dispatch —
         #                    serialized: one in flight, so the mixer's
         #                    ring/signature state stays ordered)
-        #   device:          compute superblock N-2 (async dispatch)
-        #   fetch thread:    read back superblock N-3, emit in order
+        #   device:          up to `pipeline_depth` enqueued programs
+        #                    (the relay's completion poll costs
+        #                    ~200-400 ms per blocking wait; a deep
+        #                    window pays it once per window, not once
+        #                    per superblock)
+        #   fetch thread:    read back the oldest handle, emit in
+        #                    order; joined only when done, the window
+        #                    is full, or the song has drained
+        from collections import deque
+        depth = self.pipeline_depth
         rec_out = None           # built program awaiting dispatch
         disp = None              # running dispatch thread
         dres = [None, None]      # dispatch (handle, error)
-        pending = None           # dispatched handle (device busy)
+        inflight = deque()       # dispatched handles awaiting fetch
         fetcher = None           # thread filling fetched[0]
         fetched = [None, None]
+
+        def drain_inflight():
+            # best-effort in-order fetch of everything the device
+            # already has, so a relay fault loses no finished audio
+            nonlocal fetcher
+            ok = True
+            if fetcher is not None:
+                fetcher.join()
+                fetcher = None
+                if fetched[0] is not None:
+                    emit(fetched[0])
+                else:
+                    ok = False
+            while ok and inflight:
+                try:
+                    emit(self.mixer.fetch(inflight.popleft()))
+                except BaseException:
+                    ok = False
+            inflight.clear()
+
         n = 0
         while n < total_frames or rec_out is not None \
-                or disp is not None or pending is not None \
+                or disp is not None or inflight \
                 or fetcher is not None:
+            blocked = False      # did this iteration do blocking work
             if n < total_frames and not self.fell_back \
                     and self._device_ready() and rec_out is None:
                 if do_profile[0]:
@@ -330,8 +367,9 @@ class DeviceRenderer:
                         self.atlas_entry, self.master_channels)
                     self._tag_prog(rec_out)
                     n += frames
+                    blocked = True
             elif n < total_frames and rec_out is None \
-                    and disp is None and pending is None \
+                    and disp is None and not inflight \
                     and fetcher is None:
                 # native bridge: fell back, or the per-process kernel
                 # warmup hasn't finished yet (bit-exact either way).
@@ -342,19 +380,18 @@ class DeviceRenderer:
                 if not self.fell_back:
                     self.bridged_frames += frames
                 n += frames
+                blocked = True
             if disp is not None:
                 disp.join()
                 disp = None
+                blocked = True
                 if dres[0] is None:
-                    # relay fault mid-pipeline: emit whatever already
-                    # fetched, drop in-flight superblocks and restart
-                    # at the emitted frontier on the bit-exact native
-                    # path (the serving resilience contract)
-                    if fetcher is not None:
-                        fetcher.join()
-                        fetcher = None
-                        if fetched[0] is not None:
-                            emit(fetched[0])
+                    # relay fault mid-pipeline: emit whatever the
+                    # device already finished, drop the rest and
+                    # restart at the emitted frontier on the
+                    # bit-exact native path (the serving resilience
+                    # contract)
+                    drain_inflight()
                     import sys
                     print("a2 device: superblock dispatch failed, "
                           "bridging natively: %r" % (dres[1],),
@@ -362,39 +399,9 @@ class DeviceRenderer:
                     self._fallback(emitted[0],
                                    total_frames - emitted[0])
                     rec_out = None
-                    pending = None
                     n = emitted[0]
                     continue
-                pending = dres[0]
-            if fetcher is not None:
-                fetcher.join()
-                fetcher = None
-                if fetched[0] is None:
-                    import sys
-                    print("a2 device: superblock fetch failed, "
-                          "bridging natively: %r" % (fetched[1],),
-                          file=sys.stderr)
-                    self._fallback(emitted[0],
-                                   total_frames - emitted[0])
-                    rec_out = None
-                    disp = None
-                    pending = None
-                    n = emitted[0]
-                    continue
-                emit(fetched[0])
-            if pending is not None:
-                h = pending
-                pending = None
-
-                def go(h=h):
-                    fetched[0] = None
-                    fetched[1] = None
-                    try:
-                        fetched[0] = self.mixer.fetch(h)
-                    except BaseException as e:
-                        fetched[1] = e
-                fetcher = threading.Thread(target=go)
-                fetcher.start()
+                inflight.append(dres[0])
             if rec_out is not None:
                 prog = rec_out
                 rec_out = None
@@ -408,6 +415,36 @@ class DeviceRenderer:
                         dres[1] = e
                 disp = threading.Thread(target=put)
                 disp.start()
+            if fetcher is not None and (not fetcher.is_alive()
+                                        or len(inflight) >= depth
+                                        or not blocked):
+                fetcher.join()
+                fetcher = None
+                if fetched[0] is None:
+                    import sys
+                    print("a2 device: superblock fetch failed, "
+                          "bridging natively: %r" % (fetched[1],),
+                          file=sys.stderr)
+                    inflight.clear()
+                    self._fallback(emitted[0],
+                                   total_frames - emitted[0])
+                    rec_out = None
+                    disp = None
+                    n = emitted[0]
+                    continue
+                emit(fetched[0])
+            if fetcher is None and inflight:
+                h = inflight.popleft()
+
+                def go(h=h):
+                    fetched[0] = None
+                    fetched[1] = None
+                    try:
+                        fetched[0] = self.mixer.fetch(h)
+                    except BaseException as e:
+                        fetched[1] = e
+                fetcher = threading.Thread(target=go)
+                fetcher.start()
         if sink is not None:
             return None
         return np.concatenate(chunks, axis=1)
