@@ -115,7 +115,7 @@ class _SharedCore:
 
 def render_multiplexed(jobs, bufsize=None, readback="exact",
                        interpret=None, profile=True,
-                       stage_mode="exact"):
+                       stage_mode="exact", pipeline_depth=3):
     """Time-division-multiplexed serving: ONE scheduler drives all
     streams through ONE shared DeviceMixer, rotating per superblock —
     record stream A's next superblock while the chip computes B's and
@@ -208,35 +208,40 @@ def render_multiplexed(jobs, bufsize=None, readback="exact",
                 except Exception:
                     pass     # first dispatch will compile instead
 
-    # Four-slot pipeline, the solo render()'s shape with stream
-    # rotation: the main thread records+builds stream A's next
-    # superblock while a dispatch thread uploads B's, the device
-    # computes C's and a fetch thread reads D's back.  A fully serial
-    # rotation (record -> dispatch -> fetch per superblock) measures
-    # ~3x slower aggregate — every phase waits on every other.
+    # Deep pipeline, the solo render()'s shape with stream rotation:
+    # the main thread records+builds stream A's next superblock while
+    # a dispatch thread uploads B's, the device holds up to
+    # `pipeline_depth` enqueued programs and a fetch thread reads the
+    # oldest back.  A fully serial rotation (record -> dispatch ->
+    # fetch per superblock) measures ~3x slower aggregate, and a
+    # one-deep device window pays the relay's ~200-400 ms
+    # completion-poll latency per superblock instead of per window.
     import threading
+    from collections import deque
+    depth = max(1, int(pipeline_depth))
     rot = 0
     rec_out = None           # (stream, prog) awaiting dispatch
     disp = None              # running dispatch thread
     dres = [None, None, None]    # (stream, handle, error)
-    pending = None           # (stream, handle) computing on device
+    inflight = deque()       # (stream, handle) enqueued on device
     fetcher = None           # running fetch thread
     fres = [None, None, None]    # (stream, out, error)
 
     def drop_inflight(s2):
         """Discard s2's pipeline slots (it bridged natively)."""
-        nonlocal rec_out, pending
+        nonlocal rec_out
         if rec_out is not None and rec_out[0] is s2:
             rec_out = None
-        if pending is not None and pending[0] is s2:
-            pending = None
+        for ent in [e for e in inflight if e[0] is s2]:
+            inflight.remove(ent)
 
     while True:
         active = [s for s in streams
                   if not s.native and s.recorded < s.j.frames]
         if not active and rec_out is None and disp is None \
-                and pending is None and fetcher is None:
+                and not inflight and fetcher is None:
             break
+        blocked = False      # did this iteration do blocking work
         if active and rec_out is None:
             s = active[rot % len(active)]
             rot += 1
@@ -252,38 +257,18 @@ def render_multiplexed(jobs, bufsize=None, readback="exact",
                 continue
             s.recorded += bufsize
             rec_out = (s, prog)
+            blocked = True
         if disp is not None:
             disp.join()
             disp = None
+            blocked = True
             s2, h, err = dres
             if err is not None:
                 if not s2.native:
                     drop_inflight(s2)
                     s2.bridge(err)
             elif not s2.native:
-                pending = (s2, h)
-        if fetcher is not None:
-            fetcher.join()
-            fetcher = None
-            s2, out, err = fres
-            if err is not None:
-                if not s2.native:
-                    drop_inflight(s2)
-                    s2.bridge(err)
-            elif not s2.native:
-                s2.emit(out)
-        if pending is not None:
-            s2, h = pending
-            pending = None
-
-            def get(s2=s2, h=h):
-                fres[0], fres[1], fres[2] = s2, None, None
-                try:
-                    fres[1] = mixer.fetch(h)
-                except BaseException as e:
-                    fres[2] = e
-            fetcher = threading.Thread(target=get)
-            fetcher.start()
+                inflight.append((s2, h))
         if rec_out is not None:
             s2, prog = rec_out
             rec_out = None
@@ -296,6 +281,29 @@ def render_multiplexed(jobs, bufsize=None, readback="exact",
                     dres[2] = e
             disp = threading.Thread(target=put)
             disp.start()
+        if fetcher is not None and (not fetcher.is_alive()
+                                    or len(inflight) >= depth
+                                    or not blocked):
+            fetcher.join()
+            fetcher = None
+            s2, out, err = fres
+            if err is not None:
+                if not s2.native:
+                    drop_inflight(s2)
+                    s2.bridge(err)
+            elif not s2.native:
+                s2.emit(out)
+        if fetcher is None and inflight:
+            s2, h = inflight.popleft()
+
+            def get(s2=s2, h=h):
+                fres[0], fres[1], fres[2] = s2, None, None
+                try:
+                    fres[1] = mixer.fetch(h)
+                except BaseException as e:
+                    fres[2] = e
+            fetcher = threading.Thread(target=get)
+            fetcher.start()
     for s in streams:
         s.finish()
     return jobs
