@@ -235,6 +235,28 @@ RUN_KCHUNK = 16
 _FLOAT_TIER_MINQ = int(0.15 * (1 << 24))
 
 
+def _probes():
+    """Perf-diagnosis probe set (A2_COMPUTE_PROBE, comma-separated).
+    Each named probe removes one piece of the device program at TRACE
+    time (XLA DCE then strips everything only that piece needed), so
+    timing (full - variant) attributes on-chip cost per component.
+    Results are wrong under any probe — tools/probe_compute.py only.
+
+      noexpand    skip oscillator-run expansion entirely
+      nokernel    zero the pallas oscillator output (keeps expansion
+                  glue, panmix and the slot accumulation)
+      noscatter   keep all expansion compute, drop the slot scatter
+      norungather replace the run->row field gather with a
+                  contiguous read (isolates the gather's cost)
+      noramp      skip the ramper-replay scan + trajectory gather
+      nostages    skip panmix/copy/ws stage items
+      nofbd       skip fbdelay items
+      nofilt      skip filter/fm items
+    """
+    v = _os.environ.get("A2_COMPUTE_PROBE")
+    return frozenset(v.split(",")) if v else frozenset()
+
+
 def _build_runs(prog, cls_arr, tbase, posoff, ph_hi, ph_lo, dph,
                 modsize, amp0, damp, vol0, dvol, pan0, dpan, slot0,
                 mode, off0, total, lens, extra=None):
@@ -1297,7 +1319,8 @@ def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
     ramper/pitch requantization (verified fragment-by-fragment by the
     record pass)."""
     Rtot = sum(NB * OK.RPB for _, NB in class_sig)
-    if _os.environ.get("A2_COMPUTE_PROBE") == "noexpand":
+    probe = _probes()
+    if "noexpand" in probe:
         return slots
     rm = runmat
     start = rm[:, RC_START]
@@ -1305,7 +1328,11 @@ def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
     mark = jnp.zeros(Rtot + 1, jnp.int32).at[
         jnp.clip(start, 0, Rtot)].add(alive_run)
     rid = jnp.cumsum(mark[:Rtot]) - 1
-    g = jnp.take(rm, jnp.clip(rid, 0, None), axis=0)  # [Rtot, RC_N]
+    if "norungather" in probe:
+        g = jnp.broadcast_to(rm[0] + rid[0], (Rtot, rm.shape[1]))
+    else:
+        g = jnp.take(rm, jnp.clip(rid, 0, None),
+                     axis=0)                          # [Rtot, RC_N]
     p = jnp.arange(Rtot, dtype=jnp.int32)
     k = p - g[:, RC_START]
     alive = (rid >= 0) & (k < g[:, RC_LEN])
@@ -1332,6 +1359,8 @@ def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
             + n64k * g[:, RC_DPAN]).astype(jnp.int32)
     dvol = g[:, RC_DVOL].astype(jnp.int64)
     dpan = g[:, RC_DPAN].astype(jnp.int64)
+    if has_ramp and "noramp" in probe:
+        has_ramp = False
     if has_ramp:
         traj = _ramp_scan(rampmat.astype(jnp.int64),
                           rm.astype(jnp.int64))
@@ -1397,8 +1426,11 @@ def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
         par = jnp.stack(
             [x[b0:b0 + P].reshape(NB, OK.RPB) for x in fields],
             axis=1).reshape(NB * OK.NPARAM, OK.RPB)
-        res = OK._osc_call(cls, tb, par, atlas, interpret=interpret,
-                           quality=quality)
+        if "nokernel" in probe:
+            res = jnp.zeros((FRAG, P), jnp.int32)
+        else:
+            res = OK._osc_call(cls, tb, par, atlas,
+                               interpret=interpret, quality=quality)
         outs.append(res.T)                      # (P, 64)
         b0 += P
     osc = jnp.concatenate(outs, axis=0)         # [Rtot, FRAG]
@@ -1444,11 +1476,8 @@ def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
     ch0s = jnp.where(valid, ch0, 0)
     ch1s = jnp.where(valid, ch1, 0)
     audio = jnp.stack([ch0s, ch1s], axis=1).astype(jnp.int32)
-    probe = _os.environ.get("A2_COMPUTE_PROBE")
-    if probe == "noscatter":        # perf diagnosis only
+    if "noscatter" in probe:        # perf diagnosis only
         return slots.at[0].add(audio.sum(axis=0))
-    if probe == "nokernel":
-        return slots
     # unsorted segment-sum: ~1.6x faster than scatter-add here (rows
     # stay in class/table order for the kernel, so their slot ids
     # cannot be pre-sorted)
@@ -2688,17 +2717,27 @@ class DeviceMixer:
             new_rings = []
             new_filt = []
             si = fi = gi = 0
+            probe = _probes()
             for tag, key, extra in exec_items:
                 if tag == "stage":
-                    slots = _apply_stage(slots, key, stage_arrs[si])
+                    if "nostages" not in probe:
+                        slots = _apply_stage(slots, key,
+                                             stage_arrs[si])
                     si += 1
                 elif tag == "fbd":
+                    if "nofbd" in probe:
+                        new_rings.append(fbd_rings[fi])
+                        fi += 1
+                        continue
                     _, stereoin, stereoout, add, C = extra
                     slots, ring = _apply_fbdelay(
                         slots, (stereoin, stereoout, add, C),
                         fbd_arrs[fi], fbd_rings[fi], fbd_pos[fi])
                     new_rings.append(ring)
                     fi += 1
+                elif "nofilt" in probe:
+                    new_filt.append(filt_states[gi])
+                    gi += 1
                 elif key[2] == "fm":
                     slots, stf = _apply_fm(
                         slots, (key[3], key[4], key[5][0]),
