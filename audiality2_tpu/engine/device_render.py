@@ -91,7 +91,8 @@ class DeviceRenderer:
 
     def __init__(self, interface, channels=None, interpret=None,
                  transfer_lock=None, readback="exact", mixer=None,
-                 stage_mode="exact", pipeline_depth=3):
+                 stage_mode="exact", pipeline_depth=3,
+                 bridge_compile=True):
         from ..tpu.superblock import DeviceMixer
         self.i = interface
         self.nr = NativeRenderer(interface, channels=channels)
@@ -135,6 +136,18 @@ class DeviceRenderer:
         # 389 ms blocking one-at-a-time vs 212 ms/superblock at
         # depth 8 on the same program)
         self.pipeline_depth = max(1, int(pipeline_depth))
+        # bridge_compile: a solo render()'s one remote jit compile
+        # costs 30-60 s through this deployment's relay (which
+        # ignores the persistent compile cache, DESIGN.md) — with
+        # this flag the compile runs on a background thread started
+        # right after the profile pass (DeviceMixer.precompile, the
+        # same AOT path serving uses) while the render bridges
+        # through the bit-exact native path, so a user's first song
+        # starts producing audio immediately.  Off = wait for the
+        # compile inline (bench_device_path measures the device-true
+        # total this way).
+        self.bridge_compile = bridge_compile
+        self._song_ready = None  # precompile-done event (render())
         self._calls = []         # replayed on native fallback
         self._pending = None     # (prog, frames) in-flight superblock
         if not self.mixer.interpret:
@@ -347,10 +360,37 @@ class DeviceRenderer:
                 or fetcher is not None:
             blocked = False      # did this iteration do blocking work
             if n < total_frames and not self.fell_back \
-                    and self._device_ready() and rec_out is None:
+                    and self._device_ready() and rec_out is None \
+                    and (self._song_ready is None
+                         or self._song_ready.is_set()):
                 if do_profile[0]:
                     do_profile[0] = False
-                    self._profile(total_frames, bufsize)
+                    ok = self._profile(total_frames, bufsize)
+                    if ok and not self.mixer.interpret \
+                            and getattr(self, "_profiled_prog",
+                                        None) is not None:
+                        if self.bridge_compile:
+                            # AOT-compile the song's one signature on
+                            # a thread; bridge natively meanwhile
+                            ev = threading.Event()
+                            self._song_ready = ev
+                            prog_p = self._profiled_prog
+
+                            def warm_song():
+                                try:
+                                    self.mixer.precompile(prog_p)
+                                finally:
+                                    ev.set()
+                            threading.Thread(target=warm_song,
+                                             daemon=True).start()
+                            continue
+                        # inline: same AOT compile, before the first
+                        # record (no mid-pipeline stall either way)
+                        try:
+                            self.mixer.precompile(
+                                self._profiled_prog)
+                        except Exception:
+                            pass
                 # always a full superblock (stable jit signature);
                 # emit() trims the tail past total_frames
                 frames = bufsize

@@ -124,7 +124,9 @@ def render_sharded(interface, program, frames, args=(),
         keys = [(tag, key, {"stereoin": ob.get("stereoin"),
                             "stereoout": ob.get("stereoout"),
                             "add": ob.get("add"),
-                            "chunk": ob.get("chunk")})
+                            "chunk": ob.get("chunk"),
+                            "dense": bool(ob.get("dense"))
+                            if tag == "fbd" else None})
                 for tag, key, ob, _ in items]
 
         def fn(atlas, tb, rm, rmp, sa, ss, sm, sms, st_in, fa_in,
@@ -145,13 +147,23 @@ def render_sharded(interface, program, frames, args=(),
             new_filt = []
             for tag, key, ex in keys:
                 if tag == "stage":
-                    slots = SB._apply_stage(slots, key, st_in[si])
+                    la, da = st_in[si]
+                    if da.shape[0]:
+                        slots = SB._apply_stage_dense(slots, key, da)
+                    if la.shape[0]:
+                        slots = SB._apply_stage(slots, key, la)
                     si += 1
                 elif tag == "fbd":
-                    slots, ring = SB._apply_fbdelay(
-                        slots, (ex["stereoin"], ex["stereoout"],
-                                ex["add"], ex["chunk"]),
-                        fa_in[fi], fr_in[fi], fp_in[fi])
+                    if ex["dense"]:
+                        slots, ring = SB._apply_fbdelay_dense(
+                            slots, (ex["stereoin"], ex["stereoout"],
+                                    ex["add"], ex["chunk"]),
+                            fa_in[fi], fr_in[fi])
+                    else:
+                        slots, ring = SB._apply_fbdelay(
+                            slots, (ex["stereoin"], ex["stereoout"],
+                                    ex["add"], ex["chunk"]),
+                            fa_in[fi], fr_in[fi], fp_in[fi])
                     new_rings.append(ring)
                     fi += 1
                 elif key[2] == "fm":
@@ -206,8 +218,10 @@ def render_sharded(interface, program, frames, args=(),
             fns[sig] = build(prog, items)
         for tag, key, ob, tie in items:
             if tag == "fbd" and ("fbd", key, tie) not in state:
-                state[("fbd", key, tie)] = (
-                    jnp.zeros((2, SB._FBD_BUFSIZE), jnp.int32), 0)
+                shp = (2, SB.FBD_TAIL) if ob.get("dense") \
+                    else (2, SB._FBD_BUFSIZE)
+                state[("fbd", key, tie)] = (jnp.zeros(shp,
+                                                      jnp.int32), 0)
             elif tag == "filt" and ("filt", key) not in state:
                 state[("filt", key)] = init_state(ob)
         rm_sh, rmp_sh = shard_runs(prog)
@@ -221,7 +235,8 @@ def render_sharded(interface, program, frames, args=(),
         sms = jnp.asarray(prog.stash_mono_slot) \
             if sm is not None and len(sm) else z32
         sm = jnp.asarray(sm) if sm is not None and len(sm) else z32
-        st_in = tuple(jnp.asarray(ob["arr"])
+        st_in = tuple((jnp.asarray(ob["arr"]),
+                       jnp.asarray(ob["dense"]))
                       for t, _, ob, _ in items if t == "stage")
         fa_in = tuple(jnp.asarray(ob["arr"])
                       for t, _, ob, _ in items if t == "fbd")
@@ -243,7 +258,8 @@ def render_sharded(interface, program, frames, args=(),
         ri = gi = 0
         for t, key, ob, tie in items:
             if t == "fbd":
-                nf = int(ob["arr"][:, 5].sum())
+                nf = 0 if ob.get("dense") \
+                    else int(ob["arr"][:, 5].sum())
                 pos = state[("fbd", key, tie)][1]
                 state[("fbd", key, tie)] = (
                     rings[ri], (pos + nf) % SB._FBD_BUFSIZE)

@@ -82,6 +82,18 @@ FRAG = A2_MAXFRAG
 # feedback scan (span <= 2^20 - 2^17 samples = 20.8 s @ 44.1 kHz;
 # longer superblocks fall back, guard in the builders).
 _FBD_BUFSIZE = 1 << 20
+# Dense-path persistent ring state: the reference's own window
+# (fbdelay.c FBD_SIZE = 2^17 samples; native a2rt_units.inc
+# fbd_process masks every tap by FBD_SIZE-1, so no tap can look back
+# farther).  The dense fbdelay keeps only this tail between
+# superblocks — 1 MB/instance instead of the legacy ring's 8 MB —
+# and rebuilds a linear [tail | superblock] buffer per superblock.
+FBD_TAIL = 1 << 17
+
+# int32 zero for dynamic-slice starts: traced span starts are int32,
+# and lax requires all start indices to share one dtype (a bare 0
+# traces as int64 under the x64 flag)
+_Z = np.int32(0)
 
 
 class Unsupported(Exception):
@@ -646,7 +658,8 @@ def compile_superblock(core, frags, oplists, rowbatch):
         for i, en in enumerate(entries):
             arr[i] = en
         prog.stages.append({"kind": kind, "key": key, "arr": arr,
-                            "n": len(entries)})
+                            "n": len(entries),
+                            "dense": np.zeros((0, F, 9), np.int32)})
 
     # fbdelay instances are stage ops too — insert in depth order
     for fd in fbd_insts.values():
@@ -672,7 +685,8 @@ def compile_superblock(core, frags, oplists, rowbatch):
         prog.fbdelays.append({
             "unit_id": id(fd["unit"]), "key": fd["key"],
             "stereoin": fd["stereoin"], "stereoout": fd["stereoout"],
-            "add": fd["add"], "arr": arr, "n": len(sl), "chunk": C})
+            "add": fd["add"], "arr": arr, "n": len(sl), "chunk": C,
+            "dense": False})
 
     return prog
 
@@ -896,6 +910,8 @@ def program_from_native(rows, stages, stash, F, frag_sizes,
         ent[:, 2] = rr[:, SF_OFF]
         ent[:, 3] = rr[:, SF_FRM]
         ent[:, 4:9] = rr[:, SF_P0:SF_P4 + 1]
+        frags_all = rr[:, SF_FRAG].astype(np.int64)
+        far = np.arange(F, dtype=np.int32)
         for gi, b in enumerate(bnd):
             r0 = rr[b]
             nest, chain = int(r0[SF_NEST]), int(r0[SF_CHAIN])
@@ -913,18 +929,57 @@ def program_from_native(rows, stages, stash, F, frag_sizes,
                 key = (-nest, chain, "copy", ni, add,
                        (sch[0],), (dch[0],))
             n = int(sizes[gi])
-            K = _pow2(n, 128)
-            arr = np.zeros((K, 9), np.int32)
-            arr[:, 0] = ninst * F
-            arr[:, 1] = ninst * F
             seg = ent[b:b + n]
-            # dst-sorted (adds / add-of-difference are order-free):
-            # the device emit is a sorted segment-sum, padding = dead
-            # slot = highest index
-            seg = seg[np.argsort(seg[:, 1], kind="stable")]
-            arr[:n] = seg
+            # dense partition: an instance-pair (= source/dest slot
+            # span) whose slices are one-per-fragment ships as a
+            # dense [F, 9] span table (contiguous device slices, no
+            # gather/scatter — see _apply_stage_dense); pairs with
+            # sub-fragment splits, and sparse pairs where the dense
+            # table would cost more upload than it saves, stay on
+            # the legacy slice list
+            fr_g = frags_all[b:b + n]
+            sspan = seg[:, 0].astype(np.int64) - fr_g
+            dspan = seg[:, 1].astype(np.int64) - fr_g
+            pk = (sspan << 32) | dspan
+            o2 = np.argsort(pk, kind="stable")
+            pks = pk[o2]
+            pbnd = np.nonzero(np.concatenate(
+                [[True], pks[1:] != pks[:-1]]))[0]
+            psz = np.diff(np.append(pbnd, n))
+            dense_groups = []
+            legacy = []
+            for pb, pn in zip(pbnd, psz):
+                idx = o2[pb:pb + pn]
+                np_ = int(pn)
+                frs = fr_g[idx]
+                if np_ * 2 < F or len(np.unique(frs)) != np_:
+                    legacy.append(seg[idx])
+                    continue
+                p = int(pks[pb])
+                da = np.zeros((F, 9), np.int32)
+                da[:, 0] = (p >> 32) + far
+                da[:, 1] = (p & 0xFFFFFFFF) + far
+                da[frs, 2:9] = seg[idx][:, 2:9]
+                dense_groups.append(da)
+            dense = np.stack(dense_groups) if dense_groups \
+                else np.zeros((0, F, 9), np.int32)
+            if legacy:
+                lg = np.concatenate(legacy)
+                nl = len(lg)
+                K = _quant(nl, 128)
+                arr = np.zeros((K, 9), np.int32)
+                arr[:, 0] = ninst * F
+                arr[:, 1] = ninst * F
+                # dst-sorted (adds / add-of-difference are
+                # order-free): the device emit is a sorted
+                # segment-sum, padding = dead slot = highest index
+                arr[:nl] = lg[np.argsort(lg[:, 1], kind="stable")]
+            else:
+                nl = 0
+                arr = np.zeros((0, 9), np.int32)
             prog.stages.append({"kind": key[2], "key": key,
-                                "arr": arr, "n": n})
+                                "arr": arr, "n": nl,
+                                "dense": dense})
         prog.stages.sort(key=lambda st: st["key"])
         fbd = S[skind == SK_FBDELAY]
         filt = S[(skind == SK_F12) | (skind == SK_DCB)
@@ -935,10 +990,6 @@ def program_from_native(rows, stages, stash, F, frag_sizes,
     for serial in np.unique(fbd[:, SF_SERIAL]) if len(fbd) else ():
         sr = fbd[fbd[:, SF_SERIAL] == serial]
         s0 = sr[0]
-        if F * FRAG + (1 << 17) > _FBD_BUFSIZE:
-            # the vectorized reader taps need the whole superblock +
-            # max reference delay to fit the ring without wrapping
-            raise Unsupported("superblock too long for fbdelay ring")
         # chunk bound: only the FEEDBACK delay serializes (reader
         # taps are vectorized against the final ring), so the chunk
         # grows to the fb tap's span, not min(fb, ld, rd)
@@ -947,8 +998,28 @@ def program_from_native(rows, stages, stash, F, frag_sizes,
         while C * 2 * FRAG <= mind and C < 1024:
             C *= 2
         n = len(sr)
-        ns = _pow2(n, C)
-        ns = ((ns + C - 1) // C) * C
+        # dense eligibility (_apply_fbdelay_dense): one full slice
+        # per fragment, full coverage in fragment order, constant
+        # slot spans, constant fb/ld/rd within the reference's 2^17
+        # window (native fbd_process masks every tap by 2^17-1)
+        dense = bool(
+            n == F
+            and mind >= FRAG
+            and (sr[:, SF_OFF] == 0).all()
+            and (sr[:, SF_FRM] == FRAG).all()
+            and (sr[:, SF_FRAG] == np.arange(F)).all()
+            and all((sr[:, c] == sr[0, c]).all()
+                    for c in (SF_SRC0, SF_SRC1, SF_DST0, SF_DST1,
+                              SF_P0, SF_P1, SF_P2))
+            and max(int(sr[0, SF_P0]), int(sr[0, SF_P1]),
+                    int(sr[0, SF_P2])) <= FBD_TAIL)
+        if not dense and F * FRAG + FBD_TAIL > _FBD_BUFSIZE:
+            # the legacy path's vectorized reader taps need the whole
+            # superblock + max reference delay to fit the 2^20 ring
+            # without wrapping (the dense path has no such bound: its
+            # linear buffer is sized per superblock)
+            raise Unsupported("superblock too long for fbdelay ring")
+        ns = n if dense else _quant(n, C)
         arr = np.zeros((ns, 13), np.int32)
         arr[:, :4] = ninst * F     # dead src/dst: keeps the emit's
         # sorted-segment invariant
@@ -965,7 +1036,7 @@ def program_from_native(rows, stages, stash, F, frag_sizes,
             "stereoin": int(s0[SF_NI]) == 2,
             "stereoout": int(s0[SF_NO]) == 2,
             "add": bool(s0[SF_ADD]), "arr": arr, "n": n,
-            "chunk": C})
+            "chunk": C, "dense": dense})
 
     # ----- filter12 / dcblock / limiter: instance-batched per-sample
     # scans (serial state per instance persists on the device between
@@ -1523,47 +1594,40 @@ def _div64(num, den):
     return _tdiv(num, den)
 
 
-def _apply_stage(slots, key, arr):
+def _stage_key_meta(key):
+    """(add, sch) for either stage-key layout (copy/ws vs panmix)."""
+    if key[2] in ("copy", "ws"):
+        return key[4], key[5]
+    return key[5], key[6]
+
+
+def _stage_math(key, x0, x1, a, ns):
+    """Shared per-slice stage arithmetic (panmix / copy / waveshaper)
+    on int64 channel inputs [K, 64]: returns {dst_channel: int64
+    output}.  ns = slice-local sample index (rampers advance in
+    slice-local samples, a2_RunRamper); a = int64 slice params with
+    p0..p4 in columns 4..8.  Used identically by the legacy
+    (slice-list) and dense (instance-span) stage paths."""
     kind = key[2]
-    a = arr.astype(jnp.int64)
-    src = slots[a[:, 0]]                   # [K, 2, 64] int32
-    n = jnp.arange(FRAG, dtype=jnp.int64)[None, :]
-    o = a[:, 2:3]
-    f = a[:, 3:4]
-    mask = (n >= o) & (n < o + f)
-    # rampers advance in slice-local samples (a2_RunRamper): the
-    # value at absolute frame n is value + (n - offset) * delta
-    ns = n - o
     if kind == "copy":
-        ch_s = key[5][0]
-        ch_d = key[6][0]
-        add = key[4]
-        out = src[:, ch_s].astype(jnp.int64)
-        return _emit(slots, a[:, 1], {ch_d: out}, mask, add)
+        return {key[6][0]: x0}
     if kind == "ws":
         # waveshaper.c:67-105 fixed-point path, exact int64 incl. the
         # truncating division (cf. native a2rt_units.inc ws_process)
-        ch_s = key[5][0]
-        ch_d = key[6][0]
-        add = key[4]
-        x = src[:, ch_s].astype(jnp.int64)
         av = _w32(a[:, 4:5] + ns * a[:, 5:6])
         a3p1 = _w32(_w32(_w32(av << 1) + av) + (1 << 24))
         a4 = av >> 4
         asqr = _w32((a4 * a4) >> 24)
-        vsqr = _w32((x * x) >> 22)
-        vout = x * a3p1
+        vsqr = _w32((x0 * x0) >> 22)
+        vout = x0 * a3p1
         sq = av * vsqr
-        vout = jnp.where(x >= 0, vout - sq, vout + sq)
+        vout = jnp.where(x0 >= 0, vout - sq, vout + sq)
         den = ((asqr * vsqr) >> 16) + (1 << 24)
-        return _emit(slots, a[:, 1], {ch_d: _div64(vout, den)},
-                     mask, add)
-    ni, no, add, sch, dch = key[3], key[4], key[5], key[6], key[7]
+        return {key[6][0]: _div64(vout, den)}
+    ni, no, dch = key[3], key[4], key[7]
     vol = a[:, 4:5] + ns * a[:, 5:6]
     if ni == 1 and no == 1:
-        inp = src[:, sch[0]].astype(jnp.int64)
-        return _emit(slots, a[:, 1], {dch[0]: (inp * vol) >> 24},
-                     mask, add)
+        return {dch[0]: (x0 * vol) >> 24}
     pan = a[:, 6:7] + ns * a[:, 7:8]
     clamp = (a[:, 8:9] != 0)
     vp = (pan * vol) >> 24
@@ -1576,24 +1640,86 @@ def _apply_stage(slots, key, arr):
     # drop-channel variant: that side of the panmix writes an
     # unowned, unreadable buffer)
     if ni == 1 and no == 2:
-        inp = src[:, sch[0]].astype(jnp.int64)
         out = {}
         if dch[0] != 0xFF:
-            out[dch[0]] = (inp * v0) >> 24
+            out[dch[0]] = (x0 * v0) >> 24
         if dch[1] != 0xFF:
-            out[dch[1]] = (inp * v1) >> 24
-        return _emit(slots, a[:, 1], out, mask, add)
-    i0 = src[:, sch[0]].astype(jnp.int64)
-    i1 = src[:, sch[1]].astype(jnp.int64)
+            out[dch[1]] = (x0 * v1) >> 24
+        return out
     if ni == 2 and no == 1:
-        return _emit(slots, a[:, 1],
-                     {dch[0]: (i0 * v0 + i1 * v1) >> 25}, mask, add)
+        return {dch[0]: (x0 * v0 + x1 * v1) >> 25}
     out = {}
     if dch[0] != 0xFF:
-        out[dch[0]] = (i0 * v0) >> 24
+        out[dch[0]] = (x0 * v0) >> 24
     if dch[1] != 0xFF:
-        out[dch[1]] = (i1 * v1) >> 24
-    return _emit(slots, a[:, 1], out, mask, add)
+        out[dch[1]] = (x1 * v1) >> 24
+    return out
+
+
+def _apply_stage(slots, key, arr):
+    """Legacy slice-list stage path: arbitrary (slot, off, frames)
+    slices, gathered/accumulated by slot id.  Production content
+    mostly rides _apply_stage_dense; this path keeps the leftovers
+    (instances with sub-fragment splits, partial-coverage groups)."""
+    a = arr.astype(jnp.int64)
+    src = slots[a[:, 0]]                   # [K, 2, 64] int32
+    n = jnp.arange(FRAG, dtype=jnp.int64)[None, :]
+    o = a[:, 2:3]
+    f = a[:, 3:4]
+    mask = (n >= o) & (n < o + f)
+    # rampers advance in slice-local samples (a2_RunRamper): the
+    # value at absolute frame n is value + (n - offset) * delta
+    ns = n - o
+    add, sch = _stage_key_meta(key)
+    x0 = src[:, sch[0]].astype(jnp.int64)
+    x1 = src[:, sch[-1]].astype(jnp.int64)
+    return _emit(slots, a[:, 1], _stage_math(key, x0, x1, a, ns),
+                 mask, add)
+
+
+def _apply_stage_dense(slots, key, darr):
+    """Dense stage path: instances whose slices are one-per-fragment
+    (host-verified at build time) ship as [G, F, 9] tables whose row
+    f IS fragment f of a contiguous slot span, so the slice gather
+    and the segment-sum emit become contiguous dynamic slices — on
+    TPU, gathers/scatters over the slot array were the dominant
+    stage cost (scatter serializes per element), while span
+    slice/update run at HBM bandwidth.
+
+    Fragments the instance didn't process carry frames=0: their
+    delta is zero and the read-modify-write writes back what it
+    read, which also makes all-zero padding groups (span start 0 =
+    master) harmless."""
+    G, F = darr.shape[0], darr.shape[1]
+    n = jnp.arange(FRAG, dtype=jnp.int64)[None, :]
+    add, sch = _stage_key_meta(key)
+    for g2 in range(G):
+        a = darr[g2].astype(jnp.int64)     # [F, 9]
+        s0 = darr[g2, 0, 0]
+        d0 = darr[g2, 0, 1]
+        src = jax.lax.dynamic_slice(slots, (s0, _Z, _Z), (F, 2, FRAG))
+        o = a[:, 2:3]
+        f = a[:, 3:4]
+        mask = (n >= o) & (n < o + f)
+        ns = n - o
+        x0 = src[:, sch[0]].astype(jnp.int64)
+        x1 = src[:, sch[-1]].astype(jnp.int64)
+        outs = _stage_math(key, x0, x1, a, ns)
+        dst = jax.lax.dynamic_slice(slots, (d0, _Z, _Z), (F, 2, FRAG))
+        for ch, out in outs.items():
+            out32 = out.astype(jnp.int32)
+            if add:
+                d = jnp.where(mask, out32, 0)
+            else:
+                # REPLACE as add-of-difference: dense masks are
+                # disjoint from any leftover legacy slices of the
+                # same stage (one slice per fragment per instance),
+                # so reading `old` after earlier dense groups is
+                # exact (see _emit)
+                d = jnp.where(mask, out32 - dst[:, ch], 0)
+            dst = dst.at[:, ch].add(d)
+        slots = jax.lax.dynamic_update_slice(slots, dst, (d0, _Z, _Z))
+    return slots
 
 
 def _apply_fbdelay(slots, sig, arr, ring, bufpos):
@@ -1713,6 +1839,106 @@ def _apply_fbdelay(slots, sig, arr, ring, bufpos):
             indices_are_sorted=True)
         slots = slots.at[:, 1].add(seg1)
     return slots, jnp.stack([L, R])
+
+
+def _apply_fbdelay_dense(slots, sig, arr, tail):
+    """Dense fbdelay: the superblock's slices are full, consecutive
+    fragments of one instance with constant fb/ld/rd delays
+    (host-verified at build, program_from_native), so the ring
+    becomes a LINEAR buffer [last 2^17 samples | superblock] with no
+    wrap arithmetic: the feedback scan's reads/writes and the ld/rd
+    reader taps are contiguous dynamic slices instead of the legacy
+    path's gather/scatter over an 8 MB ring (TPU scatter serializes
+    per element — it dominated the on-chip fbdelay cost), and the
+    persistent state shrinks to the reference's own 2^17 window.
+
+    sig: (stereoin, stereoout, add, chunk_frags); arr int32 [F, 13]
+    (same columns as the legacy table); tail int32 [2, FBD_TAIL],
+    time-ordered (tail[:, -1] = most recent sample).  Exactness
+    argument is the legacy path's: only the cross-feedback tap is
+    serial (chunk span <= fb/2 by the chunk rule), and a reader tap
+    at sample t reads t - d < t, already final.  Returns
+    (slots, new_tail)."""
+    stereoin, stereoout, add, C = sig
+    F = arr.shape[0]
+    N = F * FRAG
+    D = FBD_TAIL
+    CH = C * FRAG
+    NPad = ((N + CH - 1) // CH) * CH
+    nsteps = NPad // CH
+    a = arr.astype(jnp.int64)
+    s0 = arr[0, 0]
+    s1 = arr[0, 1]
+    src0 = jax.lax.dynamic_slice(
+        slots, (s0, _Z, _Z), (F, 2, FRAG))[:, 0]
+    src1 = jax.lax.dynamic_slice(
+        slots, (s1, _Z, _Z), (F, 2, FRAG))[:, 1 if stereoin else 0]
+    i0 = src0.reshape(N)
+    i1 = src1.reshape(N)
+    fb = arr[0, 6]
+    ld = arr[0, 7]
+    rd = arr[0, 8]
+
+    def bcast(col):
+        return jnp.broadcast_to(a[:, col:col + 1],
+                                (F, FRAG)).reshape(N)
+
+    def padN(x):
+        if NPad > N:
+            return jnp.concatenate(
+                [x, jnp.zeros((NPad - N,), x.dtype)])
+        return x
+
+    i01 = jnp.stack([padN(i0), padN(i1)]) \
+        .reshape(2, nsteps, CH).transpose(1, 0, 2)
+    fbgc = padN(bcast(10)).reshape(nsteps, CH)
+    buf = jnp.concatenate(
+        [tail, jnp.zeros((2, NPad), jnp.int32)], axis=1)
+
+    def step(bf, xs):
+        x01, gc, i_ = xs
+        rstart = D + i_ * CH - fb
+        ftap = jax.lax.dynamic_slice(bf, (_Z, rstart), (2, CH))
+        # cross-feedback: left writes tap the RIGHT ring and vice
+        # versa (fbdelay.c stereo-reversed taps)
+        o_fb = (ftap[::-1].astype(jnp.int64) * gc[None]) >> 16
+        w = (x01.astype(jnp.int64) + o_fb).astype(jnp.int32)
+        bf = jax.lax.dynamic_update_slice(bf, w, (_Z, rstart + fb))
+        return bf, o_fb.astype(jnp.int32)
+
+    buf, ofb = jax.lax.scan(
+        step, buf, (i01, fbgc, jnp.arange(nsteps, dtype=jnp.int32)))
+    ofb = ofb.transpose(1, 0, 2).reshape(2, NPad)[:, :N] \
+        .astype(jnp.int64)
+    Ltap = jax.lax.dynamic_slice(buf[0], (D - ld,), (N,)) \
+        .astype(jnp.int64)
+    Rtap = jax.lax.dynamic_slice(buf[1], (D - rd,), (N,)) \
+        .astype(jnp.int64)
+    out0 = ofb[0] + ((Ltap * bcast(11)) >> 16) \
+        + ((i0.astype(jnp.int64) * bcast(9)) >> 16)
+    out1 = ofb[1] + ((Rtap * bcast(12)) >> 16) \
+        + ((i1.astype(jnp.int64) * bcast(9)) >> 16)
+    out0 = out0.astype(jnp.int32)
+    out1 = out1.astype(jnp.int32)
+    if not stereoout:
+        # mono output mixes both delay channels (fbdelay.c mono
+        # variant; native a2rt_units.inc fbd_process)
+        out0 = (out0 + out1) >> 1
+    new_tail = jax.lax.slice(buf, (0, N), (2, N + D))
+    d0s = arr[0, 2]
+    dst0 = jax.lax.dynamic_slice(slots, (d0s, _Z, _Z), (F, 2, FRAG))
+    o0 = out0.reshape(F, FRAG)
+    dst0 = dst0.at[:, 0].add(o0 if add else o0 - dst0[:, 0])
+    slots = jax.lax.dynamic_update_slice(slots, dst0, (d0s, _Z, _Z))
+    if stereoout:
+        d1s = arr[0, 3]
+        dst1 = jax.lax.dynamic_slice(slots, (d1s, _Z, _Z),
+                                     (F, 2, FRAG))
+        o1 = out1.reshape(F, FRAG)
+        dst1 = dst1.at[:, 1].add(o1 if add else o1 - dst1[:, 1])
+        slots = jax.lax.dynamic_update_slice(slots, dst1,
+                                             (d1s, _Z, _Z))
+    return slots, new_tail
 
 
 def _apply_filter(slots, kind, sig, arr, state):
@@ -2303,7 +2529,11 @@ def _blob_layout(sig):
     nperm = 0
     for j, (tag, key, extra) in enumerate(items):
         if tag == "stage":
-            ent.append((("it", j), (extra, 9)))
+            K, G = extra
+            if K:
+                ent.append((("it", j), (K, 9)))
+            if G:
+                ent.append((("itd", j), (G, F, 9)))
         elif tag == "fbd":
             ent.append((("it", j), (extra[0], 13)))
             nfbd += 1
@@ -2412,7 +2642,10 @@ class DeviceMixer:
         ufb = self._union_fbd.setdefault(ns, {})
         ufl = self._union_filters.setdefault(ns, {})
         for st in prog.stages:
-            ust[st["key"]] = st["arr"].shape[0]
+            t = ust.get(st["key"]) or {"K": 0, "G": 0}
+            ust[st["key"]] = {
+                "K": max(t["K"], st["arr"].shape[0]),
+                "G": max(t["G"], st["dense"].shape[0])}
         for fd in prog.fbdelays:
             ufb[fd["unit_id"]] = {
                 "key": fd["key"], "stereoin": fd["stereoin"],
@@ -2562,7 +2795,28 @@ class DeviceMixer:
                 arr[:, 1] = dead
                 arr[:K] = st["arr"]
                 st["arr"] = arr
+            G = st["dense"].shape[0]
+            Gp = grow(("stG",) + st["key"], G)
+            if Gp > G:
+                # padding groups: all-zero rows (span start 0,
+                # frames 0) — the dense read-modify-write writes
+                # back what it read (_apply_stage_dense)
+                da = np.zeros((Gp, prog.F, 9), np.int32)
+                da[:G] = st["dense"]
+                st["dense"] = da
         for fd in prog.fbdelays:
+            # sticky dense flag: once any superblock of the song
+            # needs the legacy path for this instance (partial
+            # coverage, sub-fragment splits, ramped delays), every
+            # signature uses it — the persistent ring state format
+            # must be stable across the song's one jit signature
+            dkey = ("fbdense", fd["unit_id"])
+            sticky = hw.get(dkey, 1)
+            nowd = int(bool(fd.get("dense"))) & sticky
+            hw[dkey] = nowd
+            fd["dense"] = bool(nowd)
+            if fd["dense"]:
+                continue               # dense tables are exactly [F]
             NS = fd["arr"].shape[0]
             C = fd["chunk"]
             NSp = grow(("fbd", fd["unit_id"], C), NS)
@@ -2599,24 +2853,33 @@ class DeviceMixer:
         ufl = self._union_filters.get(ns) or {}
         if ust:
             have = {st["key"] for st in prog.stages}
-            for key, K in ust.items():
+            for key, t in ust.items():
                 if key in have:
                     continue
-                K = max(K, hw.get(("st",) + key, K))
+                K = max(t["K"], hw.get(("st",) + key, 0))
+                G = max(t["G"], hw.get(("stG",) + key, 0))
+                hw[("st",) + key] = K
+                hw[("stG",) + key] = G
                 arr = np.zeros((K, 9), np.int32)
                 arr[:, 0] = dead
                 arr[:, 1] = dead
-                prog.stages.append({"kind": key[2], "key": key,
-                                    "arr": arr, "n": 0})
+                prog.stages.append({
+                    "kind": key[2], "key": key, "arr": arr, "n": 0,
+                    "dense": np.zeros((G, prog.F, 9), np.int32)})
         if ufb:
             have = {fd["unit_id"] for fd in prog.fbdelays}
             for uid, t in ufb.items():
                 if uid in have:
                     continue
+                # an absent instance cannot be dense (its ring time
+                # must freeze): the whole song goes legacy
+                hw[("fbdense", uid)] = 0
                 ns = max(t["ns"], hw.get(("fbd", uid, t["chunk"]),
                                          t["ns"]))
                 ns = ((ns + t["chunk"] - 1) // t["chunk"]) \
                     * t["chunk"]
+                hw[("fbd", uid, t["chunk"])] = max(
+                    hw.get(("fbd", uid, t["chunk"]), 0), ns)
                 fda = np.zeros((ns, 13), np.int32)
                 fda[:, :4] = dead      # sorted-emit invariant
                 prog.fbdelays.append({
@@ -2624,7 +2887,7 @@ class DeviceMixer:
                     "stereoin": t["stereoin"],
                     "stereoout": t["stereoout"], "add": t["add"],
                     "arr": fda, "n": 0,
-                    "chunk": t["chunk"]})
+                    "chunk": t["chunk"], "dense": False})
         if ufl:
             have = {fl["key"] for fl in prog.filters}
             for key, t in ufl.items():
@@ -2653,12 +2916,14 @@ class DeviceMixer:
             if getattr(prog, "stash_mono", None) is not None else 0
         items = []
         for st in prog.stages:
-            items.append(("stage", st["key"], st["arr"].shape[0],
-                          ""))
+            items.append(("stage", st["key"],
+                          (st["arr"].shape[0],
+                           st["dense"].shape[0]), ""))
         for fd in prog.fbdelays:
             items.append(("fbd", fd["key"],
                           (fd["arr"].shape[0], fd["stereoin"],
-                           fd["stereoout"], fd["add"], fd["chunk"]),
+                           fd["stereoout"], fd["add"], fd["chunk"],
+                           bool(fd["dense"])),
                           str(fd["unit_id"])))
         for fl in prog.filters:
             # third extra element = float-tier eligibility: filter12
@@ -2720,19 +2985,29 @@ class DeviceMixer:
             probe = _probes()
             for tag, key, extra in exec_items:
                 if tag == "stage":
+                    la, da = stage_arrs[si]
                     if "nostages" not in probe:
-                        slots = _apply_stage(slots, key,
-                                             stage_arrs[si])
+                        if da.shape[0]:
+                            slots = _apply_stage_dense(slots, key,
+                                                       da)
+                        if la.shape[0]:
+                            slots = _apply_stage(slots, key, la)
                     si += 1
                 elif tag == "fbd":
                     if "nofbd" in probe:
                         new_rings.append(fbd_rings[fi])
                         fi += 1
                         continue
-                    _, stereoin, stereoout, add, C = extra
-                    slots, ring = _apply_fbdelay(
-                        slots, (stereoin, stereoout, add, C),
-                        fbd_arrs[fi], fbd_rings[fi], fbd_pos[fi])
+                    _, stereoin, stereoout, add, C, fdense = extra
+                    if fdense:
+                        slots, ring = _apply_fbdelay_dense(
+                            slots, (stereoin, stereoout, add, C),
+                            fbd_arrs[fi], fbd_rings[fi])
+                    else:
+                        slots, ring = _apply_fbdelay(
+                            slots, (stereoin, stereoout, add, C),
+                            fbd_arrs[fi], fbd_rings[fi],
+                            fbd_pos[fi])
                     new_rings.append(ring)
                     fi += 1
                 elif "nofilt" in probe:
@@ -2811,7 +3086,12 @@ class DeviceMixer:
             pj = 0
             for j, (tag, key, extra) in enumerate(items):
                 if tag == "stage":
-                    stage_arrs.append(take(blob, ("it", j)))
+                    K, G = extra
+                    la = take(blob, ("it", j)) if K \
+                        else jnp.zeros((0, 9), jnp.int32)
+                    da = take(blob, ("itd", j)) if G \
+                        else jnp.zeros((0, F, 9), jnp.int32)
+                    stage_arrs.append((la, da))
                 elif tag == "fbd":
                     fbd_arrs.append(take(blob, ("it", j)))
                 else:
@@ -2883,8 +3163,9 @@ class DeviceMixer:
          readback, quality, items) = sig
         sd = jax.ShapeDtypeStruct
         blob = sd((total,), jnp.int32)
-        rings = [sd((2, _FBD_BUFSIZE), jnp.int32)
-                 for t, _, _ in items if t == "fbd"]
+        rings = [sd((2, FBD_TAIL if e[5] else _FBD_BUFSIZE),
+                    jnp.int32)
+                 for t, _, e in items if t == "fbd"]
         prevs = [sd((e[1],), jnp.int64) if k[2] == "lim"
                  else sd((e[1], 4), jnp.int32) if k[2] == "fm"
                  else sd((e[1], 2, 2), jnp.int32)
@@ -2961,18 +3242,44 @@ class DeviceMixer:
         filt_serials = []
         perm = []
         for j, (tag, _, ob, _) in enumerate(items):
-            put(("it", j), ob["arr"])
+            if tag == "stage":
+                if ob["arr"].shape[0]:
+                    put(("it", j), ob["arr"])
+                if ob["dense"].shape[0]:
+                    put(("itd", j), ob["dense"])
+            else:
+                put(("it", j), ob["arr"])
             if tag == "fbd":
                 uid = ob["unit_id"]
+                dense = bool(ob.get("dense"))
+                want = FBD_TAIL if dense else _FBD_BUFSIZE
                 ring = self._rings.get(uid)
                 if ring is None:
-                    ring = [jnp.zeros((2, _FBD_BUFSIZE), jnp.int32),
-                            0]
+                    ring = [jnp.zeros((2, want), jnp.int32), 0]
+                    self._rings[uid] = ring
+                elif ring[0].shape[1] != want:
+                    # dense<->legacy state-format conversion (at most
+                    # once per song, when the sticky dense flag
+                    # settles): both formats hold the last ring
+                    # samples, dense time-ordered, legacy ending at
+                    # pos-1
+                    cur = np.asarray(ring[0])
+                    if dense:
+                        pos = ring[1] & (_FBD_BUFSIZE - 1)
+                        idx = (pos - FBD_TAIL
+                               + np.arange(FBD_TAIL)) \
+                            % _FBD_BUFSIZE
+                        ring = [jnp.asarray(cur[:, idx]), 0]
+                    else:
+                        full = np.zeros((2, _FBD_BUFSIZE), np.int32)
+                        full[:, _FBD_BUFSIZE - FBD_TAIL:] = cur
+                        ring = [jnp.asarray(full), 0]
                     self._rings[uid] = ring
                 fbd_rings.append(ring[0])
                 fbd_pos.append(ring[1] & (_FBD_BUFSIZE - 1))
                 fbd_ids.append(uid)
-                fbd_nframes.append(int(ob["arr"][:, 5].sum()))
+                fbd_nframes.append(
+                    0 if dense else int(ob["arr"][:, 5].sum()))
             elif tag == "filt":
                 kind = ob["kind"]
                 K = ob["arr"].shape[1]

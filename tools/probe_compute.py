@@ -49,7 +49,7 @@ def main(sb_seconds=12.0, song="k2trance", samplerate=44100):
     r.timestamp_reset()
     r.start(0, prog)
     BUF = (int(sb_seconds * samplerate) // 64) * 64
-    NSB = 4
+    NSB = 7
     r._profile(BUF * NSB, BUF)
     mixer = r.mixer
     progs = []
@@ -61,6 +61,12 @@ def main(sb_seconds=12.0, song="k2trance", samplerate=44100):
         progs.append(p)
     audio_s = BUF / samplerate
     base = None
+    # The relay's completion poll costs hundreds of ms per
+    # SYNCHRONOUS dispatch (the production pipeline amortizes it
+    # across its in-flight window) — so timing one dispatch at a
+    # time attributes nothing.  Dispatch all measurement superblocks
+    # back-to-back and block once: per-superblock time converges to
+    # the true (device + upload) cost as the window deepens.
     for var in VARIANTS:
         if var:
             os.environ["A2_COMPUTE_PROBE"] = var
@@ -73,30 +79,24 @@ def main(sb_seconds=12.0, song="k2trance", samplerate=44100):
                   else (h[0],)):
             m.block_until_ready()
         tcomp = time.perf_counter() - tc
-        times = []
-        for p in progs[1:]:
-            t1 = time.perf_counter()
-            h = mixer.dispatch(p)
-            t2 = time.perf_counter()
+        t1 = time.perf_counter()
+        hs = [mixer.dispatch(p) for p in progs[1:]]
+        for h in hs:
             for m in (h[0] if isinstance(h[0], (list, tuple))
                       else (h[0],)):
                 m.block_until_ready()
-            t3 = time.perf_counter()
-            times.append((t2 - t1, t3 - t2))
-        disp = min(t[0] for t in times)
-        comp = min(t[1] for t in times)
+        per = (time.perf_counter() - t1) / (NSB - 1)
         if not var:
-            base = comp
+            base = per
         delta = "" if base is None or not var else \
-            f"  component={1e3 * (base - comp):8.1f} ms" \
-            f" ({1e3 * (base - comp) / audio_s:6.2f} ms/audio-s)"
-        print(f"{var or 'FULL':<38} dispatch={disp * 1e3:7.1f} ms"
-              f" compute={comp * 1e3:7.1f} ms"
+            f"  component={1e3 * (base - per):8.1f} ms" \
+            f" ({1e3 * (base - per) / audio_s:6.2f} ms/audio-s)"
+        print(f"{var or 'FULL':<38} per-sb={per * 1e3:7.1f} ms"
               f" (compile {tcomp:.1f}s){delta}", flush=True)
     os.environ.pop("A2_COMPUTE_PROBE", None)
-    print(f"baseline compute: {base * 1e3:.1f} ms / {audio_s:.1f}"
+    print(f"baseline: {base * 1e3:.1f} ms / {audio_s:.1f}"
           f" audio-s = {1e3 * base / audio_s:.2f} ms/audio-s"
-          f" (ceiling {audio_s / base:.0f}x)", flush=True)
+          f" (pipelined ceiling {audio_s / base:.0f}x)", flush=True)
     r.close()
 
 

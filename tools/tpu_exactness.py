@@ -50,7 +50,7 @@ def check(song, secs, bufsize=4096):
     finally:
         if r is not None:
             r.close()
-        i.close()
+        i.state.close()
     mine = np.concatenate(out, axis=1)[0]
     gold = np.fromfile(f"{GOLD}/{song}-30s-44100.raw", np.int32)
     m = min(len(gold), len(mine))
