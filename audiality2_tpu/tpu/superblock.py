@@ -1351,7 +1351,13 @@ def _ramp_scan(rmp, base):
         pramp2 = jnp.where(skip, pramp, pcd)
         dph = (dphraw2 * period) >> mip
         phm = jnp.where(msz > 0, ph % safe_m, ph)
-        out = (av2, ad, vv2, vd, pv2, pd, dph, phm, dcnt)
+        # int32-packed output (ph split hi/lo): every field fits 32
+        # bits (av/ad/vv/vd/pv/pd are _w32-folded, dph is the runmat's
+        # int32 phase-increment range, dcnt <= RUN_KCHUNK*64), so the
+        # expansion's big per-row trajectory gather moves half the
+        # bytes of the old int64 matrix
+        out = (av2, ad, vv2, vd, pv2, pd, dph, phm >> 32,
+               phm & _M32, dcnt)
         dk = jnp.where(dph >= (1 << 23), fr,
                        ((phm + fr * dph) >> 23) - (phm >> 23))
         carry = (_w32(av2 + ad * fr), at2,
@@ -1365,9 +1371,9 @@ def _ramp_scan(rmp, base):
               dcnt)
     _, outs = jax.lax.scan(step, carry0,
                            jnp.arange(1, RUN_KCHUNK, dtype=jnp.int64))
-    # one [K-1, NrR, 9] matrix so the expansion needs a single row
-    # gather instead of nine element gathers
-    return jnp.stack(outs, axis=-1)
+    # one [K-1, NrR, 10] int32 matrix so the expansion needs a single
+    # int32 row gather instead of nine int64 element gathers
+    return jnp.stack([o.astype(jnp.int32) for o in outs], axis=-1)
 
 
 def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
@@ -1402,8 +1408,16 @@ def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
     if "norungather" in probe:
         g = jnp.broadcast_to(rm[0] + rid[0], (Rtot, rm.shape[1]))
     else:
-        g = jnp.take(rm, jnp.clip(rid, 0, None),
-                     axis=0)                          # [Rtot, RC_N]
+        # rid is non-decreasing by construction (cumsum of start
+        # marks), so the run->row gather is a SORTED row gather
+        g = jax.lax.gather(
+            rm, jnp.clip(rid, 0, None)[:, None],
+            jax.lax.GatherDimensionNumbers(
+                offset_dims=(1,), collapsed_slice_dims=(0,),
+                start_index_map=(0,)),
+            slice_sizes=(1, rm.shape[1]),
+            indices_are_sorted=True,
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
     p = jnp.arange(Rtot, dtype=jnp.int32)
     k = p - g[:, RC_START]
     alive = (rid >= 0) & (k < g[:, RC_LEN])
@@ -1440,24 +1454,24 @@ def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
         fidx = jnp.clip(k - 1, 0, RUN_KCHUNK - 2).astype(jnp.int64) \
             * NrR + jnp.clip(ridx, 0, None).astype(jnp.int64)
         tg = jnp.take(traj.reshape(-1, traj.shape[-1]), fidx,
-                      axis=0)                        # [Rtot, 8]
-
-        def pick(i):
-            return tg[:, i]
+                      axis=0)                        # [Rtot, 10] i32
+        t64 = tg.astype(jnp.int64)
         use = (ridx >= 0) & (k >= 1) & alive
-        amp = jnp.where(use, pick(0).astype(jnp.int32), amp)
-        damp = jnp.where(use, pick(1).astype(jnp.int32), damp)
-        vol0 = jnp.where(use, pick(2).astype(jnp.int32), vol0)
-        dvol = jnp.where(use, pick(3), dvol)
-        pan0 = jnp.where(use, pick(4).astype(jnp.int32), pan0)
-        dpan = jnp.where(use, pick(5), dpan)
-        dph64 = jnp.where(use, pick(6), dph64)
-        ph = jnp.where(use, pick(7), ph)
+        amp = jnp.where(use, tg[:, 0], amp)
+        damp = jnp.where(use, tg[:, 1], damp)
+        vol0 = jnp.where(use, tg[:, 2], vol0)
+        dvol = jnp.where(use, t64[:, 3], dvol)
+        pan0 = jnp.where(use, tg[:, 4], pan0)
+        dpan = jnp.where(use, t64[:, 5], dpan)
+        dph64 = jnp.where(use, t64[:, 6], dph64)
+        ph = jnp.where(use,
+                       (t64[:, 7] << 32) | (t64[:, 8] & 0xFFFFFFFF),
+                       ph)
     else:
         use = jnp.zeros_like(alive)
     # noise draws consumed before this row's fragment (RAMP rows get
     # the scan-accumulated count; LINEAR rows are closed-form below)
-    cnt0 = jnp.where(use, tg[:, 8], 0) if has_ramp \
+    cnt0 = jnp.where(use, t64[:, 9], 0) if has_ramp \
         else jnp.zeros_like(k64)
     az = alive.astype(jnp.int32)
     pos = ((ph >> 24).astype(jnp.int32) + g[:, RC_POSOFF]) * az
@@ -1549,12 +1563,20 @@ def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
     audio = jnp.stack([ch0s, ch1s], axis=1).astype(jnp.int32)
     if "noscatter" in probe:        # perf diagnosis only
         return slots.at[0].add(audio.sum(axis=0))
-    # unsorted segment-sum: ~1.6x faster than scatter-add here (rows
-    # stay in class/table order for the kernel, so their slot ids
-    # cannot be pre-sorted)
+    # rows stay in class/table order for the kernel, so slot ids
+    # can't be PRE-sorted — but an on-device key sort + row gather
+    # turns the accumulation into a sorted segment-sum, which the
+    # TPU backend lowers to a vectorized segmented reduce instead of
+    # a per-duplicate serializing scatter (measured ~3x on the slot
+    # volume; the sort itself is over Rtot int32 keys, and the
+    # permutation gather is a bandwidth-bound row gather)
+    keys, perm = jax.lax.sort_key_val(
+        slot_r.astype(jnp.int32),
+        jnp.arange(Rtot, dtype=jnp.int32))
+    audio2 = jnp.take(audio.reshape(Rtot, 2 * FRAG), perm, axis=0)
     seg = jax.ops.segment_sum(
-        audio.reshape(audio.shape[0], 2 * FRAG),
-        slot_r.astype(jnp.int32), num_segments=slots.shape[0])
+        audio2, keys, num_segments=slots.shape[0],
+        indices_are_sorted=True)
     return slots + seg.reshape(slots.shape)
 
 

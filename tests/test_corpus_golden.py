@@ -26,12 +26,9 @@ SPECS = [
     ("a2jingle", "Song"), ("a2siftest", "Song"), ("constexptest", "Song"),
     ("envtest", "Song"), ("envtest2", "Song"), ("envtest3", "Song"),
     ("envtest4", "Song"), ("evilnoises", "Song"), ("evtest", "Song"),
-    ("fmtest", "Song"), ("fmtest2", "Song"), ("miditest", "Song"), ("importtest", "Song"),
-    ("importtest2", "Song"), ("microtonal", "Song"),
-    # fm family: device operator-graph scans with per-op `last`
-    # state (feedback fm was the last host-computed audio)
-    ("fmtest", "Song"), ("fmtest2", "Song"), ("miditest", "Song"), ("miditest", "Song"),
-    ("noisephase", "Song"), ("pitchenvtest", "Song"), ("ramptest", "Song"),
+    ("fmtest", "Song"), ("fmtest2", "Song"), ("miditest", "Song"),
+    ("importtest", "Song"), ("importtest2", "Song"),
+    ("microtonal", "Song"), ("noisephase", "Song"), ("pitchenvtest", "Song"), ("ramptest", "Song"),
     ("ramptest2", "Song"), ("ramptestenv", "Song"), ("recursetest", "Song"),
     ("bassline", "Bassline"), ("chords", "Chords"), ("octaves", "Octaves"),
 ]

@@ -10,6 +10,12 @@
  *                    [arg0 arg1 ...]
  * Output: raw int32 (8:24 fixed point) mono little-endian frames.
  * Set GOLDEN_CHANNELS=2 for stereo (frame-interleaved L R).
+ *
+ * GOLDEN_SEND="frames:ep:a0:a1:a2:a3;..." sends timestamped 4-arg
+ * messages to the started voice (absolute frame positions, args as
+ * decimal -> 16:16) before running — used to drive MIDI-handler
+ * programs (entry point 7, a2_drivers.h MIDI contract)
+ * deterministically for render-parity goldens (e.g. miditest2.a2s).
  */
 #include <stdio.h>
 #include <stdlib.h>
@@ -87,6 +93,33 @@ int main(int argc, char *argv[])
 	{
 		fprintf(stderr, "start: %s\n", a2_ErrorString(-vh));
 		return 9;
+	}
+	{
+		const char *ev = getenv("GOLDEN_SEND");
+		if(ev)
+		{
+			char *s = strdup(ev);
+			char *save = NULL;
+			char *tok = strtok_r(s, ";", &save);
+			int prev = 0;
+			while(tok)
+			{
+				int tf = 0, ep = 0;
+				double d0 = 0, d1 = 0, d2 = 0, d3 = 0;
+				int av[4];
+				sscanf(tok, "%d:%d:%lf:%lf:%lf:%lf",
+						&tf, &ep, &d0, &d1, &d2, &d3);
+				av[0] = (int)(d0 * 65536.0);
+				av[1] = (int)(d1 * 65536.0);
+				av[2] = (int)(d2 * 65536.0);
+				av[3] = (int)(d3 * 65536.0);
+				a2_TimestampBump(iface, (tf - prev) << 8);
+				prev = tf;
+				a2_Senda(iface, vh, ep, 4, av);
+				tok = strtok_r(NULL, ";", &save);
+			}
+			free(s);
+		}
 	}
 	frames = (int)(seconds * samplerate);
 	{
