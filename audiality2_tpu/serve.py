@@ -113,9 +113,45 @@ class _SharedCore:
         self._pair_atlas = PairAtlas()
 
 
+class A2HbmBudgetError(RuntimeError):
+    """The fleet's device-memory plan exceeds the HBM budget."""
+
+
+def fleet_hbm_plan(mixer, progs, pipeline_depth=3,
+                   hbm_budget=14 * (1 << 30)):
+    """Conservative HBM plan for a fleet sharing one DeviceMixer:
+    per-stream persistent state (fbdelay rings, filter/fm state) is
+    resident for EVERY stream simultaneously, while transient
+    working sets exist only for the <= pipeline_depth+1 superblocks
+    in flight.  The default budget leaves ~2 GB of a v5e's 16 GB for
+    XLA scratch/fragmentation.  Returns the plan dict; raises
+    A2HbmBudgetError when it does not fit."""
+    persistent = working = 0
+    for p in progs:
+        b = mixer.device_bytes(p)
+        persistent += b["persistent"]
+        working = max(working, b["working"])
+        atlas = b["atlas"]
+    total = persistent + (pipeline_depth + 1) * working + atlas
+    plan = {"streams": len(progs), "persistent": persistent,
+            "working_per_dispatch": working, "atlas": atlas,
+            "inflight": pipeline_depth + 1, "total": total,
+            "budget": hbm_budget}
+    if total > hbm_budget:
+        raise A2HbmBudgetError(
+            "fleet HBM plan %.2f GB exceeds budget %.2f GB "
+            "(%d streams: %.2f GB persistent + %d x %.2f GB "
+            "in flight + %.2f GB atlas)" % (
+                total / 2**30, hbm_budget / 2**30, len(progs),
+                persistent / 2**30, pipeline_depth + 1,
+                working / 2**30, atlas / 2**30))
+    return plan
+
+
 def render_multiplexed(jobs, bufsize=None, readback="exact",
                        interpret=None, profile=True,
-                       stage_mode="exact", pipeline_depth=3):
+                       stage_mode="exact", pipeline_depth=3,
+                       hbm_budget=14 * (1 << 30)):
     """Time-division-multiplexed serving: ONE scheduler drives all
     streams through ONE shared DeviceMixer, rotating per superblock —
     record stream A's next superblock while the chip computes B's and
@@ -200,13 +236,19 @@ def render_multiplexed(jobs, bufsize=None, readback="exact",
         # fresh signature costs 30-65 s of remote compile, which must
         # never land inside the serving window.  Streams with equal
         # shapes share one compile.
-        for s in streams:
-            p = getattr(s.r, "_profiled_prog", None)
-            if p is not None:
-                try:
-                    mixer.precompile(p)
-                except Exception:
-                    pass     # first dispatch will compile instead
+        progs = [getattr(s.r, "_profiled_prog", None)
+                 for s in streams]
+        progs = [p for p in progs if p is not None]
+        # refuse fleets whose device-resident state cannot fit HBM
+        # BEFORE any stream starts (a mid-fleet OOM would take the
+        # whole serving window down, not just one stream)
+        fleet_hbm_plan(mixer, progs, pipeline_depth=pipeline_depth,
+                       hbm_budget=hbm_budget)
+        for p in progs:
+            try:
+                mixer.precompile(p)
+            except Exception:
+                pass     # first dispatch will compile instead
 
     # Deep pipeline, the solo render()'s shape with stream rotation:
     # the main thread records+builds stream A's next superblock while

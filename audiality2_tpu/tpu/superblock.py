@@ -2967,6 +2967,49 @@ class DeviceMixer:
                 self.quality + (16 if self.stage_mode == "float"
                                 else 0), tuple(items))
 
+    def device_bytes(self, prog):
+        """HBM budget for one stream at this program's signature
+        (VERDICT r3 weak #7): returns {"persistent": B, "working": B}.
+
+        persistent = device-resident state that lives across
+        superblocks: fbdelay rings (dense tail 2x2^17 int32 = 1 MB
+        per instance — sized to the reference's 2^17 delay clamp,
+        fbdelay.c:27 — vs 8 MB for the legacy full ring), filter/fm
+        per-instance state, and the shared wave atlas (counted once
+        per process, reported separately).
+
+        working = the transient per-dispatch high-water estimate:
+        input blob, slot array, expansion intermediates (row audio +
+        ramp trajectory), and the master readback buffer.  Real XLA
+        liveness is below this sum (buffers are reused); this is the
+        conservative planning number a fleet guard can rely on.
+        """
+        self._repad(prog)
+        sig = self._signature(prog)
+        (F, ninst, minst, mch, rows_sig, rpad, ns, nsm, ramppad,
+         readback, quality, items) = sig
+        persistent = 0
+        for t, k, e in items:
+            if t == "fbd":
+                persistent += 2 * (FBD_TAIL if e[5]
+                                   else _FBD_BUFSIZE) * 4
+            elif t == "filt":
+                persistent += e[1] * (8 if k[2] == "lim" else 16)
+        _, blob_total = _blob_layout(sig)
+        Rtot = sum(NB * OK.RPB for _, NB in rows_sig)
+        working = blob_total * 4
+        working += (ninst * F + 1) * 2 * FRAG * 4          # slots
+        working += Rtot * 2 * FRAG * 4                     # row audio
+        if ramppad:
+            working += (RUN_KCHUNK - 1) * ramppad * 10 * 4  # traj
+        working += ns * 2 * FRAG * 4 + nsm * FRAG * 4      # stash
+        working += F * mch * FRAG * (2 if readback == "i16" else 4)
+        atlas = self.core._pair_atlas
+        return {"persistent": persistent, "working": working,
+                "atlas": (atlas.data.nbytes
+                          if atlas is not None and atlas.data
+                          is not None else 0)}
+
     def _build_inner(self, sig):
         """The unpacked superblock program (separate arrays per
         input).  Production dispatch wraps it behind the one-blob
