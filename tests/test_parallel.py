@@ -5,7 +5,14 @@ One song's oscillator runs shard across a jax Mesh (the virtual
 chain runs replicated — output must be bit-exact with the solo
 goldens.  Songs chosen to cover every item kind: k2trance (runs +
 stages + fbdelay rings), fmtest3 (fm operator stages with device
-state), k2intro (filter12 chains)."""
+state), k2intro (filter12 chains).
+
+These are MULTI-superblock renders (44100 frames at 31*64-frame
+superblocks = 23 superblocks), so device state — fbdelay ring
+contents/positions, filter d1/d2, fm per-op `last` — carries across
+sharded superblock boundaries and any leak shows as a golden
+mismatch.  Scaling shape (1/2/4/8 shards): tools/shard_scaling.py,
+table in DESIGN.md."""
 
 import numpy as np
 import pytest
