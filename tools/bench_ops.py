@@ -43,11 +43,12 @@ def timeit(name, fn, inputs, reps):
     return per
 
 
-def main(Rtot=1 << 19, Nr=230_000, nslot=90_000, reps=6):
+def main(Rtot=240_896, Nr=87_863, nslot=66_144, reps=6):
+    # defaults = measured k2trance 12 s superblock production shapes
     rng = np.random.default_rng(0)
-    C = 26                       # runmat columns
-    K = 63                       # RUN_KCHUNK-1
-    NrR = 60_000                 # ramp runs
+    C = 18                       # runmat BASE_N columns
+    K = 15                       # RUN_KCHUNK-1
+    NrR = 34_540                 # ramp runs
 
     # --- build a realistic run layout: ascending starts, avg len ~2
     lens = rng.integers(1, 5, Nr)
@@ -128,10 +129,18 @@ def main(Rtot=1 << 19, Nr=230_000, nslot=90_000, reps=6):
           bool((g1[alive] == g2[alive]).all()), flush=True)
 
     # ---------- trajgather candidates
+    # realistic row-level indices: runs expanded in order, ramp runs
+    # numbered ascending in run order (exactly how _build_runs
+    # assigns RC_RIDX), k = row position within its run
+    is_ramp = np.zeros(Nr, bool)
+    is_ramp[rng.choice(Nr, NrR, replace=False)] = True
+    ridx_run = np.full(Nr, -1, np.int32)
+    ridx_run[is_ramp] = np.arange(NrR, dtype=np.int32)
+    rid_rows = np.clip(rid_host, 0, None)
+    ridx_host = ridx_run[rid_rows]
+    k_host = (np.arange(Rtot) - starts[rid_rows]).astype(np.int32)
     traj_host = rng.integers(-1 << 30, 1 << 30, (K, NrR, 10),
                              np.int32)
-    ridx_host = rng.integers(0, NrR, Rtot, np.int32)
-    k_host = rng.integers(1, K + 1, Rtot, np.int32)
 
     def mk_tg(i):
         t = traj_host.copy()
@@ -141,19 +150,52 @@ def main(Rtot=1 << 19, Nr=230_000, nslot=90_000, reps=6):
 
     @jax.jit
     def tg_take(traj, ridx, k):
-        fidx = (jnp.clip(k - 1, 0, K - 1).astype(jnp.int64) * NrR
-                + ridx.astype(jnp.int64))
+        # current production form: k-major [K, NrR, 10] layout
+        fidx = (jnp.clip(k - 1, 0, K - 1) * NrR
+                + jnp.clip(ridx, 0, None))
         return jnp.take(traj.reshape(-1, 10), fidx, axis=0)
 
-    timeit("trajgather: jnp.take [Rtot,10]", tg_take,
+    @jax.jit
+    def tg_runmajor(traj, ridx, k):
+        # candidate: transpose to run-major [NrR, K, 10]; fidx is
+        # then ascending within every run and across runs (RC_RIDX is
+        # assigned in run order), so the gather is near-sequential
+        t2 = jnp.transpose(traj, (1, 0, 2)).reshape(-1, 10)
+        fidx = (jnp.clip(ridx, 0, None) * K
+                + jnp.clip(k - 1, 0, K - 1))
+        return jnp.take(t2, fidx, axis=0)
+
+    @jax.jit
+    def tg_runmajor_nt(traj2, ridx, k):
+        # transpose-free variant (layout already run-major) to
+        # isolate the transpose's own cost
+        fidx = (jnp.clip(ridx, 0, None) * K
+                + jnp.clip(k - 1, 0, K - 1))
+        return jnp.take(traj2.reshape(-1, 10), fidx, axis=0)
+
+    def mk_tg2(i):
+        t = np.ascontiguousarray(traj_host.transpose(1, 0, 2))
+        t[:, :, 0] += i
+        return (jnp.asarray(t), jnp.asarray(ridx_host),
+                jnp.asarray(k_host))
+
+    timeit("trajgather: k-major take (current)", tg_take,
            inputs_for(mk_tg, reps), reps)
+    timeit("trajgather: transpose+run-major take", tg_runmajor,
+           inputs_for(mk_tg, reps), reps)
+    timeit("trajgather: run-major take (no transp)", tg_runmajor_nt,
+           inputs_for(mk_tg2, reps), reps)
 
     # ---------- slot accumulation candidates
     slot_host = np.minimum(
-        np.repeat(rng.integers(0, nslot - 64, Nr),
-                  lens)[:Rtot]
-        + np.concatenate([np.arange(l) for l in lens])[:Rtot],
+        np.repeat(rng.integers(0, nslot - 64, Nr), lens)
+        + np.concatenate([np.arange(l) for l in lens]),
         nslot - 1).astype(np.int32)
+    if len(slot_host) < Rtot:       # pad dead rows to the dead slot
+        slot_host = np.concatenate(
+            [slot_host, np.full(Rtot - len(slot_host), nslot - 1,
+                                np.int32)])
+    slot_host = slot_host[:Rtot]
     perm_host = np.argsort(slot_host, kind="stable").astype(np.int32)
     keys_host = slot_host[perm_host]
 
@@ -184,6 +226,31 @@ def main(Rtot=1 << 19, Nr=230_000, nslot=90_000, reps=6):
     def sl_scatter(au, slot, perm, keys):
         return jnp.zeros((nslot, 128), jnp.int32).at[slot].add(au)
 
+    # cumsum + boundary-difference: rows already slot-sorted, the
+    # per-slot row ranges [lo, hi) are host-known -> segment sum =
+    # csum[hi] - csum[lo] with a zero row prepended (int32 wrap makes
+    # the difference exact regardless of overflow in the prefix)
+    lo_host = np.searchsorted(keys_host, np.arange(nslot),
+                              "left").astype(np.int32)
+    hi_host = np.searchsorted(keys_host, np.arange(nslot),
+                              "right").astype(np.int32)
+
+    def mk_sl2(i):
+        au = rng.integers(-1 << 20, 1 << 20, (Rtot, 128), np.int32)
+        return (jnp.asarray(au[perm_host]), jnp.asarray(lo_host),
+                jnp.asarray(hi_host))
+
+    @jax.jit
+    def sl_cumsum(au2, lo, hi):
+        cs = jnp.cumsum(au2, axis=0, dtype=jnp.int32)
+        z = jnp.concatenate(
+            [jnp.zeros((1, 128), jnp.int32), cs], axis=0)
+        return jnp.take(z, hi, axis=0) - jnp.take(z, lo, axis=0)
+
+    @jax.jit
+    def sl_cumsum_only(au2, lo, hi):
+        return jnp.cumsum(au2, axis=0, dtype=jnp.int32)
+
     u = timeit("slotsum: unsorted segment_sum", sl_unsorted,
                inputs_for(mk_sl, reps), reps)
     d = timeit("slotsum: device sort+take+sorted", sl_devsort,
@@ -192,12 +259,21 @@ def main(Rtot=1 << 19, Nr=230_000, nslot=90_000, reps=6):
                inputs_for(mk_sl, reps), reps)
     s = timeit("slotsum: scatter-add", sl_scatter,
                inputs_for(mk_sl, reps), reps)
+    timeit("slotsum: cumsum+boundary-diff", sl_cumsum,
+           inputs_for(mk_sl2, reps), reps)
+    timeit("slotsum: cumsum alone", sl_cumsum_only,
+           inputs_for(mk_sl2, reps), reps)
     x = mk_sl(0)
     r1 = np.asarray(sl_unsorted(*x))
     r2 = np.asarray(sl_devsort(*x))
     r3 = np.asarray(sl_hostperm(*x))
+    au2h = np.asarray(x[0])[perm_host]
+    r4 = np.asarray(sl_cumsum(jnp.asarray(au2h),
+                              jnp.asarray(lo_host),
+                              jnp.asarray(hi_host)))
     print("  devsort == unsorted:", bool((r1 == r2).all()),
           " hostperm == unsorted:", bool((r1 == r3).all()),
+          " cumsum == unsorted:", bool((r1 == r4).all()),
           flush=True)
 
     # ---------- pure sort cost

@@ -1,0 +1,201 @@
+"""TRUE on-chip cost of the production superblock program.
+
+Every per-dispatch measurement through this deployment's relay is
+polluted by 20-400 ms of dispatch/completion-poll latency that a
+5-deep window does not reliably amortize (tools/bench_gather.py shows
+identical gathers measuring 0.03 ms or 24 ms depending on relay
+weather).  This tool removes the relay from the measurement entirely:
+it jits a CHAIN of N production superblocks inside ONE dispatch
+(fbdelay rings and filter state thread iteration-to-iteration, a
+1-word blob perturbation defeats CSE) and reports
+
+    true_per_sb = (t_chain(N) - t_chain(1)) / (N - 1)
+
+which is pure device compute — upload, dispatch and poll cost appear
+once in both terms and cancel.
+
+With A2_TRUE_PROBES=1 it additionally measures every
+A2_COMPUTE_PROBE component-removal variant with the same chain
+method, attributing TRUE on-chip cost per component (each variant
+costs two remote compiles).
+
+Usage: python tools/bench_true_compute.py [sb_seconds] [N] [song]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+PROBES = ["noexpand", "nokernel", "noscatter", "norungather",
+          "noramp", "nostages", "nofbd", "nofilt"]
+
+
+def main(sb_seconds=12.0, N=4, song="k2trance", samplerate=44100,
+         reps=5):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import audiality2_tpu as a2
+    from audiality2_tpu.engine.device_render import DeviceRenderer
+    from audiality2_tpu.tpu.superblock import (BASE_N, RC_AMP0,
+                                               program_from_native,
+                                               _blob_layout)
+
+    i = a2.open_engine(samplerate, 4096, 1, batched=False)
+    prog = i.get(i.load(f"/root/reference/benchmark/{song}.a2s"),
+                 "Song")
+    r = DeviceRenderer(i, channels=1, readback="i16")
+    t0 = time.perf_counter()
+    r.wait_device(timeout=900)
+    print(f"warmup {time.perf_counter() - t0:.1f}s", flush=True)
+    r.timestamp_reset()
+    r.start(0, prog)
+    BUF = (int(sb_seconds * samplerate) // 64) * 64
+    audio_s = BUF / samplerate
+    r._profile(BUF * 3, BUF)
+    rec = r.nr.record(BUF)
+    p = program_from_native(*rec, [64] * (BUF // 64),
+                            r.atlas_entry, r.master_channels)
+    r._tag_prog(p)
+    mixer = r.mixer
+    mixer._repad(p)
+    sig = mixer._signature(p)
+    layout, total = _blob_layout(sig)
+    # blob index of run 0's RC_AMP0 (harmless perturbation target)
+    rm_pos = layout["rm"][0] + RC_AMP0
+
+    # assemble real dispatch inputs once (mirrors _dispatch, but we
+    # keep everything as host arrays and upload fresh per rep)
+    blob_np, rings, prevs = _assemble(mixer, p, sig, layout, total)
+    atlas = mixer._atlas()
+
+    def chain(n):
+        fnj = mixer._build_fn(p, sig)
+
+        def f(atlas, blob, rings, prevs):
+            acc = jnp.int32(0)
+            for it in range(n):
+                b2 = blob.at[rm_pos].add(it)
+                parts, rings, prevs = fnj(atlas, b2, rings, prevs)
+                s = sum(pt.astype(jnp.int32).sum() for pt in parts)
+                acc = acc + s
+            return acc, rings, prevs
+        return jax.jit(f)
+
+    def timed(fn, label):
+        tc = time.perf_counter()
+        o = fn(atlas, jnp.asarray(blob_np), rings, prevs)
+        o[0].block_until_ready()
+        print(f"  {label} compile+warm "
+              f"{time.perf_counter() - tc:.1f}s", flush=True)
+        t0 = time.perf_counter()
+        outs = [fn(atlas,
+                   jnp.asarray(blob_np + np.int32(k + 1)
+                               * (np.arange(total) == rm_pos)),
+                   rings, prevs)
+                for k in range(reps)]
+        for o in outs:
+            o[0].block_until_ready()
+        per = (time.perf_counter() - t0) / reps
+        print(f"  {label}: {per * 1e3:.1f} ms/call", flush=True)
+        return per
+
+    def true_per_sb(tag):
+        t1 = timed(chain(1), f"{tag} chain(1)")
+        tN = timed(chain(N), f"{tag} chain({N})")
+        true_sb = (tN - t1) / (N - 1)
+        print(f"{tag} TRUE: {true_sb * 1e3:.1f} ms/superblock "
+              f"= {true_sb * 1e3 / audio_s:.2f} ms/audio-s "
+              f"(compute-only ceiling {audio_s / true_sb:.0f}x)",
+              flush=True)
+        return true_sb
+
+    base = true_per_sb("FULL")
+    if os.environ.get("A2_TRUE_PROBES"):
+        for var in PROBES:
+            os.environ["A2_COMPUTE_PROBE"] = var
+            try:
+                t = true_per_sb(var)
+                print(f"  => {var} component: "
+                      f"{(base - t) * 1e3:7.1f} ms/superblock "
+                      f"({(base - t) * 1e3 / audio_s:5.2f} "
+                      f"ms/audio-s)", flush=True)
+            finally:
+                os.environ.pop("A2_COMPUTE_PROBE", None)
+    r.close()
+
+
+def _assemble(mixer, prog, sig, layout, total):
+    """Builds (blob, rings, prevs) exactly as DeviceMixer._dispatch
+    would, without dispatching."""
+    import jax.numpy as jnp
+    import numpy as np
+    from audiality2_tpu.tpu import superblock as SB
+
+    blob = np.zeros(total, np.int32)
+
+    def put(name, a):
+        pos, shape = layout[name]
+        a = np.asarray(a)
+        blob[pos:pos + a.size] = a.ravel().astype(np.int32,
+                                                  copy=False)
+
+    for i2, (_, _, tb) in enumerate(prog.class_blocks):
+        put(("tbase", i2), tb)
+    if prog.runmat is not None and prog.runmat.size:
+        put("rm", prog.runmat)
+    rmp = getattr(prog, "rampmat", None)
+    if rmp is not None and rmp.size and prog.has_ramp:
+        put("rmp", rmp)
+    if prog.stash_audio is not None and len(prog.stash_audio):
+        put("sa", prog.stash_audio)
+        put("sas", prog.stash_slot)
+    smn = getattr(prog, "stash_mono", None)
+    if smn is not None and len(smn):
+        put("sm", smn)
+        put("sms", prog.stash_mono_slot)
+    # per-item tables in the same sorted order as _dispatch
+    items = []
+    for st in prog.stages:
+        items.append(("stage", st["key"], st, ""))
+    for fd in prog.fbdelays:
+        items.append(("fbd", fd["key"], fd, str(fd["unit_id"])))
+    for fl in prog.filters:
+        items.append(("filt", fl["key"], fl, ""))
+    items.sort(key=lambda t: (t[1], t[3]))
+    rings = []
+    prevs = []
+    fbdpos = []
+    perms = []
+    for j, (tag, key, ob, _) in enumerate(items):
+        if tag == "stage":
+            if ob["arr"].shape[0]:
+                put(("it", j), ob["arr"])
+            if ob["dense"].shape[0]:
+                put(("itd", j), ob["dense"])
+        else:
+            put(("it", j), ob["arr"])
+        if tag == "fbd":
+            size = SB.FBD_TAIL if bool(ob.get("dense")) \
+                else SB._FBD_BUFSIZE
+            rings.append(jnp.zeros((2, size), jnp.int32))
+            fbdpos.append(0)
+        elif tag == "filt":
+            K = ob["arr"].shape[1]
+            perms.append(np.full(K, -1, np.int32))
+            prevs.append(mixer._init_state(ob["kind"], K))
+    if fbdpos:
+        put("fbdpos", np.asarray(fbdpos, np.int32))
+    if perms:
+        put("fperm", np.concatenate(perms))
+    return blob, rings, prevs
+
+
+if __name__ == "__main__":
+    a = sys.argv[1:]
+    main(float(a[0]) if a else 12.0,
+         int(a[1]) if len(a) > 1 else 4,
+         a[2] if len(a) > 2 else "k2trance")
