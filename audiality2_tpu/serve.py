@@ -151,7 +151,7 @@ def fleet_hbm_plan(mixer, progs, pipeline_depth=3,
 def render_multiplexed(jobs, bufsize=None, readback="exact",
                        interpret=None, profile=True,
                        stage_mode="exact", pipeline_depth=3,
-                       hbm_budget=14 * (1 << 30)):
+                       hbm_budget=14 * (1 << 30), batch=1):
     """Time-division-multiplexed serving: ONE scheduler drives all
     streams through ONE shared DeviceMixer, rotating per superblock —
     record stream A's next superblock while the chip computes B's and
@@ -170,6 +170,18 @@ def render_multiplexed(jobs, bufsize=None, readback="exact",
     Per-stream output is bit-exact with a solo render; a stream whose
     record/dispatch/fetch fails is bridged to the native path at its
     emitted frontier, sample-exactly, without disturbing the others.
+
+    batch > 1 groups streams into fixed batches whose superblocks
+    dispatch as ONE chained device call (DeviceMixer.dispatch_many):
+    the link's per-dispatch completion-poll cost is paid once per
+    batch instead of once per stream-superblock — the lever that
+    makes K streams multiply aggregate throughput through a
+    high-latency link.  Each group's chain is AOT-precompiled after
+    profiling; when a group's members drain unevenly (different
+    stream lengths, or a member bridges natively), the leftover
+    members dispatch individually rather than compiling new chain
+    shapes mid-window.  A failed batched dispatch bridges every
+    stream of the group sample-exactly, like a solo dispatch fault.
     """
     from .tpu.superblock import DeviceMixer, program_from_native
 
@@ -250,6 +262,19 @@ def render_multiplexed(jobs, bufsize=None, readback="exact",
             except Exception:
                 pass     # first dispatch will compile instead
 
+    # fixed stream groups for batched dispatch (see docstring)
+    batch = max(1, int(batch))
+    groups = [streams[i:i + batch]
+              for i in range(0, len(streams), batch)]
+    if profile and batch > 1:
+        for g in groups:
+            gp = [getattr(s.r, "_profiled_prog", None) for s in g]
+            if len(g) > 1 and all(p is not None for p in gp):
+                try:
+                    mixer.precompile_many(gp)
+                except Exception:
+                    pass
+
     # Deep pipeline, the solo render()'s shape with stream rotation:
     # the main thread records+builds stream A's next superblock while
     # a dispatch thread uploads B's, the device holds up to
@@ -260,11 +285,11 @@ def render_multiplexed(jobs, bufsize=None, readback="exact",
     # completion-poll latency per superblock instead of per window.
     import threading
     from collections import deque
-    depth = max(1, int(pipeline_depth))
+    depth = max(batch, int(pipeline_depth))
     rot = 0
-    rec_out = None           # (stream, prog) awaiting dispatch
+    rec_out = None           # [(stream, prog), ...] awaiting dispatch
     disp = None              # running dispatch thread
-    dres = [None, None, None]    # (stream, handle, error)
+    dres = [None, None, None]    # (group, handles, error)
     inflight = deque()       # (stream, handle) enqueued on device
     fetcher = None           # running fetch thread
     fres = [None, None, None]    # (stream, out, error)
@@ -272,10 +297,26 @@ def render_multiplexed(jobs, bufsize=None, readback="exact",
     def drop_inflight(s2):
         """Discard s2's pipeline slots (it bridged natively)."""
         nonlocal rec_out
-        if rec_out is not None and rec_out[0] is s2:
-            rec_out = None
+        if rec_out is not None:
+            rec_out = [e for e in rec_out if e[0] is not s2] or None
         for ent in [e for e in inflight if e[0] is s2]:
             inflight.remove(ent)
+
+    def record_one(s):
+        """Records s's next superblock; returns prog or None (the
+        stream bridged)."""
+        try:
+            rows, stages, stash, nfrag = s.r.nr.record(bufsize)
+            prog = program_from_native(
+                rows, stages, stash, nfrag, [64] * nfrag,
+                s.r.atlas_entry, s.r.master_channels)
+            s.r._tag_prog(prog)
+        except BaseException as e:
+            drop_inflight(s)
+            s.bridge(e)
+            return None
+        s.recorded += bufsize
+        return prog
 
     while True:
         active = [s for s in streams
@@ -285,40 +326,51 @@ def render_multiplexed(jobs, bufsize=None, readback="exact",
             break
         blocked = False      # did this iteration do blocking work
         if active and rec_out is None:
-            s = active[rot % len(active)]
-            rot += 1
-            try:
-                rows, stages, stash, nfrag = s.r.nr.record(bufsize)
-                prog = program_from_native(
-                    rows, stages, stash, nfrag, [64] * nfrag,
-                    s.r.atlas_entry, s.r.master_channels)
-                s.r._tag_prog(prog)
-            except BaseException as e:
-                drop_inflight(s)
-                s.bridge(e)
-                continue
-            s.recorded += bufsize
-            rec_out = (s, prog)
-            blocked = True
+            # record the next group's superblocks (whole-group
+            # batches dispatch chained; partial groups — uneven
+            # stream lengths or bridged members — go one by one)
+            for _ in range(len(groups)):
+                g = groups[rot % len(groups)]
+                rot += 1
+                live = [s for s in g if s in active]
+                if live:
+                    break
+            recs = []
+            for s in live:
+                prog = record_one(s)
+                if prog is not None:
+                    recs.append((s, prog))
+            if recs:
+                rec_out = recs
+                blocked = True
         if disp is not None:
             disp.join()
             disp = None
             blocked = True
-            s2, h, err = dres
+            grp, hs, err = dres
             if err is not None:
-                if not s2.native:
-                    drop_inflight(s2)
-                    s2.bridge(err)
-            elif not s2.native:
-                inflight.append((s2, h))
+                for s2, _ in grp:
+                    if not s2.native:
+                        drop_inflight(s2)
+                        s2.bridge(err)
+            else:
+                for (s2, _), h in zip(grp, hs):
+                    if not s2.native:
+                        inflight.append((s2, h))
         if rec_out is not None:
-            s2, prog = rec_out
+            grp = rec_out
             rec_out = None
+            whole = len(grp) == batch
 
-            def put(s2=s2, prog=prog):
-                dres[0], dres[1], dres[2] = s2, None, None
+            def put(grp=grp, whole=whole):
+                dres[0], dres[1], dres[2] = grp, None, None
                 try:
-                    dres[1] = mixer.dispatch(prog)
+                    if whole and len(grp) > 1:
+                        dres[1] = mixer.dispatch_many(
+                            [p for _, p in grp])
+                    else:
+                        dres[1] = [mixer.dispatch(p)
+                                   for _, p in grp]
                 except BaseException as e:
                     dres[2] = e
             disp = threading.Thread(target=put)

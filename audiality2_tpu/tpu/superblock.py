@@ -2628,7 +2628,9 @@ class DeviceMixer:
         self._atlas_dev = None
         self._atlas_ver = -1
         self._rings = {}         # unit_id -> [jnp (2, SIZE) int32, pos]
-        self._fns = {}           # signature -> jitted fn
+        self._fns = {}           # signature -> jitted fn or Compiled
+        self._jit_fns = {}       # signature -> traceable jitted fn
+        self._chain_fns = {}     # (sig, ...) -> batched dispatch fn
         # per-namespace mixer state (prog.ns; 0 for solo renders).
         # A fleet-shared mixer keys shape high-water marks and the
         # profiled structure union PER STREAM: every stream pads to
@@ -3223,6 +3225,7 @@ class DeviceMixer:
         if sig in self._fns:
             return False
         fn = self._build_fn(prog, sig)
+        self._jit_fns[sig] = fn
         layout, total = _blob_layout(sig)
         (F, ninst, minst, mch, rows_sig, rpad, ns, nsm, ramppad,
          readback, quality, items) = sig
@@ -3254,14 +3257,29 @@ class DeviceMixer:
         return d
 
     def _dispatch(self, prog):
-        self._repad(prog)
-        sig = self._signature(prog)
+        sig, blob, fbd_rings, filt_prevs, meta = self._prepare(prog)
         fn = self._fns.get(sig)
         if fn is None:
             fn = self._build_fn(prog, sig)
             self._fns[sig] = fn
-
+            self._jit_fns[sig] = fn
         atlas = self._atlas()
+        dev = _threaded_put(blob, nchunks=16)
+        masters, new_rings, new_filt = fn(atlas, dev, fbd_rings,
+                                          filt_prevs)
+        self._commit(meta, new_rings, new_filt)
+        return (masters, meta[4], meta[5])
+
+    def _prepare(self, prog):
+        """Builds one superblock's dispatch inputs: pads shapes,
+        assembles the one-blob upload and snapshots the per-stream
+        device state (fbdelay rings, filter/fm state).  Returns
+        (sig, blob, fbd_rings, filt_prevs, meta); after the device
+        call, _commit(meta, new_rings, new_filt) writes the advanced
+        state back.  Split from _dispatch so dispatch_many can
+        prepare a whole batch before one chained device call."""
+        self._repad(prog)
+        sig = self._signature(prog)
         ns_ = getattr(prog, "ns", 0)
         layout, total = _blob_layout(sig)
         blob = np.zeros(total, np.int32)
@@ -3376,16 +3394,109 @@ class DeviceMixer:
         if perm:
             put("fperm", np.asarray(perm, np.int32))
 
-        dev = _threaded_put(blob, nchunks=16)
-        masters, new_rings, new_filt = fn(atlas, dev, fbd_rings,
-                                          filt_prevs)
+        meta = (fbd_ids, fbd_nframes, filt_keys, filt_serials,
+                prog.frag_sizes, prog.master_channels)
+        return sig, blob, fbd_rings, filt_prevs, meta
+
+    def _commit(self, meta, new_rings, new_filt):
+        fbd_ids, fbd_nframes, filt_keys, filt_serials, _, _ = meta
         for uid, ring, nf in zip(fbd_ids, new_rings, fbd_nframes):
             self._rings[uid][0] = ring
-            self._rings[uid][1] = (self._rings[uid][1] + nf)                 % _FBD_BUFSIZE
+            self._rings[uid][1] = (self._rings[uid][1] + nf) \
+                % _FBD_BUFSIZE
         for ck, cur, stf in zip(filt_keys, filt_serials, new_filt):
             self._filt_cache[ck] = [stf, cur]
 
-        return (masters, prog.frag_sizes, prog.master_channels)
+    def dispatch_many(self, progs):
+        """ONE device dispatch for a batch of superblocks (typically
+        one per stream of a multiplexed fleet): the per-signature
+        superblock programs run back to back inside a single jitted
+        call.  Through a high-latency link every dispatch costs a
+        completion-poll round trip (~hundreds of ms on this relay
+        under load); batching pays it once per K superblocks.  Device
+        state threads exactly as in K separate dispatches — streams
+        are disjoint in rings/filter state by construction.  Returns
+        a list of fetch() handles, one per program."""
+        if self.transfer_lock is not None:
+            with self.transfer_lock:
+                return self._dispatch_many(progs)
+        return self._dispatch_many(progs)
+
+    def _dispatch_many(self, progs):
+        if len(progs) == 1:
+            return [self._dispatch(progs[0])]
+        preps = [self._prepare(p) for p in progs]
+        sigs = tuple(pr[0] for pr in preps)
+        chain = self._chain_for(sigs, progs)
+        atlas = self._atlas()
+        devs = tuple(_threaded_put(pr[1], nchunks=16)
+                     for pr in preps)
+        outs = chain(atlas, devs,
+                     tuple(pr[2] for pr in preps),
+                     tuple(pr[3] for pr in preps))
+        handles = []
+        for pr, (masters, nr_, nf_) in zip(preps, outs):
+            self._commit(pr[4], nr_, nf_)
+            handles.append((masters, pr[4][4], pr[4][5]))
+        return handles
+
+    def _chain_for(self, sigs, progs=None):
+        """The jitted K-superblock chain for a tuple of signatures
+        (cached; also the AOT target of precompile_many)."""
+        ch = self._chain_fns.get(sigs)
+        if ch is not None:
+            return ch
+        fns = []
+        for k, sig in enumerate(sigs):
+            f = self._jit_fns.get(sig)
+            if f is None:
+                f = self._build_fn(progs[k] if progs else None, sig)
+                self._jit_fns[sig] = f
+                self._fns.setdefault(sig, f)
+            fns.append(f)
+
+        def chain(atlas, blobs, ringss, prevss):
+            return tuple(fns[k](atlas, blobs[k], ringss[k],
+                                prevss[k])
+                         for k in range(len(fns)))
+
+        ch = jax.jit(chain)
+        self._chain_fns[sigs] = ch
+        return ch
+
+    def precompile_many(self, progs):
+        """AOT remote compile of the K-superblock chain from shape
+        skeletons (the batch analog of precompile): a serving fleet
+        compiles its whole batch program before the serving window
+        opens.  Returns True if a compile actually happened."""
+        for p in progs:
+            self._repad(p)
+        sigs = tuple(self._signature(p) for p in progs)
+        if len(progs) < 2 or isinstance(
+                self._chain_fns.get(sigs), jax.stages.Compiled):
+            return False
+        chain = self._chain_for(sigs, progs)
+        sd = jax.ShapeDtypeStruct
+        blobs = []
+        ringss = []
+        prevss = []
+        for sig in sigs:
+            items = sig[-1]
+            layout, total = _blob_layout(sig)
+            blobs.append(sd((total,), jnp.int32))
+            ringss.append([sd((2, FBD_TAIL if e[5]
+                               else _FBD_BUFSIZE), jnp.int32)
+                           for t, _, e in items if t == "fbd"])
+            prevss.append([sd((e[1],), jnp.int64) if k[2] == "lim"
+                           else sd((e[1], 4), jnp.int32)
+                           if k[2] == "fm"
+                           else sd((e[1], 2, 2), jnp.int32)
+                           for t, k, e in items if t == "filt"])
+        atlas = sd(self._atlas().shape, jnp.int32)
+        self._chain_fns[sigs] = chain.lower(
+            atlas, tuple(blobs), tuple(ringss),
+            tuple(prevss)).compile()
+        return True
 
     @staticmethod
     def _get_parts(masters):
