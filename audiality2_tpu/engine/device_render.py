@@ -92,7 +92,7 @@ class DeviceRenderer:
     def __init__(self, interface, channels=None, interpret=None,
                  transfer_lock=None, readback="exact", mixer=None,
                  stage_mode="exact", pipeline_depth=3,
-                 bridge_compile=True):
+                 bridge_compile=True, chain_dispatch=1):
         from ..tpu.superblock import DeviceMixer
         self.i = interface
         self.nr = NativeRenderer(interface, channels=channels)
@@ -147,6 +147,13 @@ class DeviceRenderer:
         # compile inline (bench_device_path measures the device-true
         # total this way).
         self.bridge_compile = bridge_compile
+        # chain_dispatch > 1: render() groups this many CONSECUTIVE
+        # superblocks per device dispatch (DeviceMixer.dispatch_chain
+        # threads ring/filter state inside the jitted call) — the
+        # link's per-dispatch completion-poll cost, the dominant
+        # steady-state overhead through a congested relay, is paid
+        # once per group instead of once per superblock
+        self.chain_dispatch = max(1, int(chain_dispatch))
         self._song_ready = None  # precompile-done event (render())
         self._calls = []         # replayed on native fallback
         self._pending = None     # (prog, frames) in-flight superblock
@@ -327,10 +334,11 @@ class DeviceRenderer:
         #                    order; joined only when done, the window
         #                    is full, or the song has drained
         from collections import deque
-        depth = self.pipeline_depth
-        rec_out = None           # built program awaiting dispatch
+        C = self.chain_dispatch
+        depth = max(self.pipeline_depth, C)
+        rec_out = []             # built programs awaiting dispatch
         disp = None              # running dispatch thread
-        dres = [None, None]      # dispatch (handle, error)
+        dres = [None, None]      # dispatch (handles, error)
         inflight = deque()       # dispatched handles awaiting fetch
         fetcher = None           # thread filling fetched[0]
         fetched = [None, None]
@@ -355,12 +363,12 @@ class DeviceRenderer:
             inflight.clear()
 
         n = 0
-        while n < total_frames or rec_out is not None \
+        while n < total_frames or rec_out \
                 or disp is not None or inflight \
                 or fetcher is not None:
             blocked = False      # did this iteration do blocking work
             if n < total_frames and not self.fell_back \
-                    and self._device_ready() and rec_out is None \
+                    and self._device_ready() and len(rec_out) < C \
                     and (self._song_ready is None
                          or self._song_ready.is_set()):
                 if do_profile[0]:
@@ -379,6 +387,11 @@ class DeviceRenderer:
                             def warm_song():
                                 try:
                                     self.mixer.precompile(prog_p)
+                                    if C > 1:
+                                        self.mixer.precompile_chain(
+                                            prog_p, C)
+                                except Exception:
+                                    pass
                                 finally:
                                     ev.set()
                             threading.Thread(target=warm_song,
@@ -389,6 +402,9 @@ class DeviceRenderer:
                         try:
                             self.mixer.precompile(
                                 self._profiled_prog)
+                            if C > 1:
+                                self.mixer.precompile_chain(
+                                    self._profiled_prog, C)
                         except Exception:
                             pass
                 # always a full superblock (stable jit signature);
@@ -398,17 +414,19 @@ class DeviceRenderer:
                     rows, stages, stash, nfrag = self.nr.record(frames)
                 except Exception:
                     self._fallback(n, min(frames, total_frames - n))
+                    rec_out = []
                 if not self.fell_back:
                     sizes = [64] * (frames // 64)
                     if frames % 64:
                         sizes.append(frames % 64)
-                    rec_out = program_from_native(
+                    prog = program_from_native(
                         rows, stages, stash, nfrag, sizes,
                         self.atlas_entry, self.master_channels)
-                    self._tag_prog(rec_out)
+                    self._tag_prog(prog)
+                    rec_out.append(prog)
                     n += frames
                     blocked = True
-            elif n < total_frames and rec_out is None \
+            elif n < total_frames and not rec_out \
                     and disp is None and not inflight \
                     and fetcher is None:
                 # native bridge: fell back, or the per-process kernel
@@ -438,19 +456,27 @@ class DeviceRenderer:
                           file=sys.stderr)
                     self._fallback(emitted[0],
                                    total_frames - emitted[0])
-                    rec_out = None
+                    rec_out = []
                     n = emitted[0]
                     continue
-                inflight.append(dres[0])
-            if rec_out is not None:
-                prog = rec_out
-                rec_out = None
+                inflight.extend(dres[0])
+            if rec_out and (len(rec_out) >= C or n >= total_frames):
+                grp = rec_out
+                rec_out = []
 
-                def put(prog=prog):
+                def put(grp=grp):
                     dres[0] = None
                     dres[1] = None
                     try:
-                        dres[0] = self.mixer.dispatch(prog)
+                        if len(grp) >= 2 and len(grp) == C:
+                            # full group: ONE chained device call
+                            dres[0] = self.mixer.dispatch_chain(grp)
+                        else:
+                            # partial tail: the single signature is
+                            # compiled anyway — avoid a fresh chain
+                            # shape for the song's last group
+                            dres[0] = [self.mixer.dispatch(p)
+                                       for p in grp]
                     except BaseException as e:
                         dres[1] = e
                 disp = threading.Thread(target=put)
@@ -468,7 +494,7 @@ class DeviceRenderer:
                     inflight.clear()
                     self._fallback(emitted[0],
                                    total_frames - emitted[0])
-                    rec_out = None
+                    rec_out = []
                     disp = None
                     n = emitted[0]
                     continue

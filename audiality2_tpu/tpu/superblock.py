@@ -3464,6 +3464,141 @@ class DeviceMixer:
         self._chain_fns[sigs] = ch
         return ch
 
+    def dispatch_chain(self, progs):
+        """ONE device dispatch for N CONSECUTIVE superblocks of the
+        same stream: fbdelay rings and filter/fm state thread
+        iteration-to-iteration INSIDE the jitted call (unlike
+        dispatch_many, whose entries are state-disjoint streams), so
+        the link's per-dispatch completion-poll cost is paid once per
+        N superblocks of a solo render.  Requires every program to
+        share one signature and one fbdelay/filter instance
+        population (true for a profiled song in steady state); falls
+        back to sequential dispatches otherwise.  Returns a list of
+        fetch() handles in superblock order."""
+        if self.transfer_lock is not None:
+            with self.transfer_lock:
+                return self._dispatch_chain(progs)
+        return self._dispatch_chain(progs)
+
+    def _dispatch_chain(self, progs):
+        if len(progs) == 1:
+            return [self._dispatch(progs[0])]
+        preps = [self._prepare(p) for p in progs]
+        sig0 = preps[0][0]
+        m0 = preps[0][4]
+        for pr in preps[1:]:
+            if pr[0] != sig0 or pr[4][0] != m0[0] \
+                    or pr[4][2] != m0[2]:
+                # signature drift or instance-population change:
+                # state cannot thread through one compiled chain —
+                # dispatch sequentially (correct, just unamortized).
+                # _prepare is idempotent w.r.t. _dispatch's own
+                # prepare (shapes already padded, state re-read).
+                return [self._dispatch(p) for p in progs]
+        layout, total = _blob_layout(sig0)
+        items = sig0[-1]
+        # patch cross-superblock host-carried state for k >= 1:
+        # fbdelay ring positions advance by the previous superblocks'
+        # frame counts (legacy path; dense rings are position-free),
+        # and the filter lane permutation must map against superblock
+        # k-1's lane serials, not the cache's
+        if "fbdpos" in layout and len(progs) > 1:
+            pos0 = preps[0][1][layout["fbdpos"][0]:
+                               layout["fbdpos"][0]
+                               + len(m0[0])].copy()
+            for k in range(1, len(preps)):
+                pos0 = (pos0 + np.asarray(preps[k - 1][4][1],
+                                          np.int64)) % _FBD_BUFSIZE
+                p0, _ = layout["fbdpos"]
+                preps[k][1][p0:p0 + len(pos0)] = \
+                    pos0.astype(np.int32)
+        if "fperm" in layout:
+            p0, (nperm,) = layout["fperm"]
+            for k in range(1, len(preps)):
+                prev_ser = preps[k - 1][4][3]
+                cur_ser = preps[k][4][3]
+                perm = []
+                for ps, cs in zip(prev_ser, cur_ser):
+                    perm.extend(ps.index(s)
+                                if (s is not None and s in ps)
+                                else -1 for s in cs)
+                preps[k][1][p0:p0 + nperm] = \
+                    np.asarray(perm, np.int32)
+        n = len(progs)
+        key = ("chain", sig0, n)
+        ch = self._chain_fns.get(key)
+        if ch is None:
+            f = self._jit_fns.get(sig0)
+            if f is None:
+                f = self._build_fn(progs[0], sig0)
+                self._jit_fns[sig0] = f
+                self._fns.setdefault(sig0, f)
+
+            def chain(atlas, blobs, rings, prevs):
+                outs = []
+                for k in range(n):
+                    parts, rings, prevs = f(atlas, blobs[k], rings,
+                                            prevs)
+                    outs.append(parts)
+                return tuple(outs), rings, prevs
+
+            ch = jax.jit(chain)
+            self._chain_fns[key] = ch
+        atlas = self._atlas()
+        devs = tuple(_threaded_put(pr[1], nchunks=16)
+                     for pr in preps)
+        all_parts, fin_rings, fin_prevs = ch(
+            atlas, devs, preps[0][2], preps[0][3])
+        # commit the final threaded state; ring positions advance by
+        # the chain's total frames, serial identity comes from the
+        # LAST superblock's lane population
+        last = preps[-1][4]
+        merged = (m0[0],
+                  [sum(pr[4][1][i] for pr in preps)
+                   for i in range(len(m0[1]))],
+                  last[2], last[3], None, None)
+        self._commit(merged, fin_rings, fin_prevs)
+        return [(parts, pr[4][4], pr[4][5])
+                for parts, pr in zip(all_parts, preps)]
+
+    def precompile_chain(self, prog, n):
+        """AOT remote compile of the n-superblock solo chain from
+        shape skeletons (the solo analog of precompile_many)."""
+        self._repad(prog)
+        sig = self._signature(prog)
+        key = ("chain", sig, n)
+        if isinstance(self._chain_fns.get(key), jax.stages.Compiled):
+            return False
+        f = self._jit_fns.get(sig)
+        if f is None:
+            f = self._build_fn(prog, sig)
+            self._jit_fns[sig] = f
+            self._fns.setdefault(sig, f)
+
+        def chain(atlas, blobs, rings, prevs):
+            outs = []
+            r, pv = rings, prevs
+            for k in range(n):
+                parts, r, pv = f(atlas, blobs[k], r, pv)
+                outs.append(parts)
+            return tuple(outs), r, pv
+
+        sd = jax.ShapeDtypeStruct
+        items = sig[-1]
+        layout, total = _blob_layout(sig)
+        blobs = tuple(sd((total,), jnp.int32) for _ in range(n))
+        rings = [sd((2, FBD_TAIL if e[5] else _FBD_BUFSIZE),
+                    jnp.int32)
+                 for t, _, e in items if t == "fbd"]
+        prevs = [sd((e[1],), jnp.int64) if k[2] == "lim"
+                 else sd((e[1], 4), jnp.int32) if k[2] == "fm"
+                 else sd((e[1], 2, 2), jnp.int32)
+                 for t, k, e in items if t == "filt"]
+        atlas = sd(self._atlas().shape, jnp.int32)
+        self._chain_fns[key] = jax.jit(chain).lower(
+            atlas, blobs, rings, prevs).compile()
+        return True
+
     def precompile_many(self, progs):
         """AOT remote compile of the K-superblock chain from shape
         skeletons (the batch analog of precompile): a serving fleet

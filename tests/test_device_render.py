@@ -75,6 +75,33 @@ def test_device_render_pipelined_profiled(song):
     assert (out[0][:m] == gold[:m]).all()
 
 
+@pytest.mark.parametrize("song", ["k2trance", "fmtest3"])
+def test_device_render_chained_bit_exact(song):
+    """chain_dispatch > 1: groups of consecutive superblocks run as
+    ONE device call with ring/filter state threading INSIDE the jit
+    (DeviceMixer.dispatch_chain).  Output must equal the solo
+    per-superblock render bit-exactly — k2trance covers fbdelay ring
+    threading and the partial tail group, fmtest3 the fm per-op
+    state."""
+    i = a2.open_engine(44100, 4096, 1, batched=False)
+    prog = i.get(i.load(f"{BENCH}/{song}.a2s"), "Song")
+    r = DeviceRenderer(i, channels=1, chain_dispatch=3)
+    r.wait_device()
+    r.timestamp_reset()
+    r.start(0, prog)
+    total = int(2.5 * 44100)
+    out = r.render(total, bufsize=31 * 64)
+    fb = r.fell_back
+    chained = any(isinstance(k, tuple) and k and k[0] == "chain"
+                  for k in r.mixer._chain_fns)
+    r.close()
+    assert not fb
+    assert chained, "dispatch_chain never engaged"
+    gold = np.fromfile(f"{GOLD}/{song}-5s-44100.raw", np.int32)
+    m = total - total % 4096
+    assert (out[0][:m] == gold[:m]).all()
+
+
 _MONOFBD_SCRIPT = """
 Song(V=1)
 {

@@ -28,7 +28,11 @@ import time
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
-PROBES = ["noexpand", "nokernel", "noscatter", "norungather",
+# norungather is excluded: replacing the run gather with a broadcast
+# makes the whole program constant-foldable under the chain, so the
+# variant measures XLA DCE, not the gather (which bench_gather.py
+# shows is ~free anyway)
+PROBES = ["noexpand", "nokernel", "noscatter",
           "noramp", "nostages", "nofbd", "nofilt"]
 
 
@@ -85,28 +89,52 @@ def main(sb_seconds=12.0, N=4, song="k2trance", samplerate=44100,
             return acc, rings, prevs
         return jax.jit(f)
 
-    def timed(fn, label):
-        tc = time.perf_counter()
-        o = fn(atlas, jnp.asarray(blob_np), rings, prevs)
-        o[0].block_until_ready()
-        print(f"  {label} compile+warm "
-              f"{time.perf_counter() - tc:.1f}s", flush=True)
-        t0 = time.perf_counter()
-        outs = [fn(atlas,
-                   jnp.asarray(blob_np + np.int32(k + 1)
-                               * (np.arange(total) == rm_pos)),
-                   rings, prevs)
-                for k in range(reps)]
-        for o in outs:
-            o[0].block_until_ready()
-        per = (time.perf_counter() - t0) / reps
-        print(f"  {label}: {per * 1e3:.1f} ms/call", flush=True)
-        return per
+    # pre-uploaded, content-distinct blobs: uploads must NOT sit in
+    # the timed path (h2d weather through this relay swings 10x
+    # minute-to-minute and would not cancel between the two chain
+    # lengths); the only per-call overhead left is the dispatch poll,
+    # which the interleaved pairing + the (tN-t1)/(N-1) difference
+    # suppresses.  Blobs are salted PER VARIANT: the relay result-
+    # caches aggressively enough that an input buffer it has seen
+    # before can return instantly even under a different program.
+    salt = [0]
+
+    def fresh_blobs():
+        devblobs = []
+        for k in range(2 * reps + 2):
+            b = blob_np.copy()
+            salt[0] += 1
+            b[rm_pos] += salt[0]
+            devblobs.append(jnp.asarray(b))
+        for b in devblobs:
+            b.block_until_ready()
+        return devblobs
 
     def true_per_sb(tag):
-        t1 = timed(chain(1), f"{tag} chain(1)")
-        tN = timed(chain(N), f"{tag} chain({N})")
+        devblobs = fresh_blobs()
+        f1, fN = chain(1), chain(N)
+        tc = time.perf_counter()
+        o = f1(atlas, devblobs[0], rings, prevs)
+        o[0].block_until_ready()
+        o = fN(atlas, devblobs[1], rings, prevs)
+        o[0].block_until_ready()
+        print(f"  {tag} compile+warm "
+              f"{time.perf_counter() - tc:.1f}s", flush=True)
+        t1s, tNs = [], []
+        for k in range(reps):
+            t0 = time.perf_counter()
+            o = f1(atlas, devblobs[2 + 2 * k], rings, prevs)
+            o[0].block_until_ready()
+            t1s.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            o = fN(atlas, devblobs[3 + 2 * k], rings, prevs)
+            o[0].block_until_ready()
+            tNs.append(time.perf_counter() - t0)
+        t1 = sorted(t1s)[len(t1s) // 2]
+        tN = sorted(tNs)[len(tNs) // 2]
         true_sb = (tN - t1) / (N - 1)
+        print(f"  {tag} chain(1) median {t1 * 1e3:.1f} ms  "
+              f"chain({N}) median {tN * 1e3:.1f} ms", flush=True)
         print(f"{tag} TRUE: {true_sb * 1e3:.1f} ms/superblock "
               f"= {true_sb * 1e3 / audio_s:.2f} ms/audio-s "
               f"(compute-only ceiling {audio_s / true_sb:.0f}x)",
@@ -114,8 +142,10 @@ def main(sb_seconds=12.0, N=4, song="k2trance", samplerate=44100,
         return true_sb
 
     base = true_per_sb("FULL")
-    if os.environ.get("A2_TRUE_PROBES"):
-        for var in PROBES:
+    sel = os.environ.get("A2_TRUE_PROBES", "")
+    if sel:
+        probes = PROBES if sel == "1" else sel.split(",")
+        for var in probes:
             os.environ["A2_COMPUTE_PROBE"] = var
             try:
                 t = true_per_sb(var)
