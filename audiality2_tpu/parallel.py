@@ -126,7 +126,9 @@ def render_sharded(interface, program, frames, args=(),
                             "add": ob.get("add"),
                             "chunk": ob.get("chunk"),
                             "dense": bool(ob.get("dense"))
-                            if tag == "fbd" else None})
+                            if tag == "fbd" else None,
+                            "fbpar": tuple(ob.get(
+                                "fbpar", (-1, -1, -1)))})
                 for tag, key, ob, _ in items]
 
         def fn(atlas, tb, rm, rmp, sa, ss, sm, sms, st_in, fa_in,
@@ -157,8 +159,9 @@ def render_sharded(interface, program, frames, args=(),
                     if ex["dense"]:
                         slots, ring = SB._apply_fbdelay_dense(
                             slots, (ex["stereoin"], ex["stereoout"],
-                                    ex["add"], ex["chunk"]),
-                            fa_in[fi], fr_in[fi])
+                                    ex["add"], ex["chunk"])
+                            + tuple(ex["fbpar"]),
+                            fa_in[fi], fr_in[fi], F)
                     else:
                         slots, ring = SB._apply_fbdelay(
                             slots, (ex["stereoin"], ex["stereoout"],

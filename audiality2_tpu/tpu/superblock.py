@@ -998,16 +998,22 @@ def program_from_native(rows, stages, stash, F, frag_sizes,
         while C * 2 * FRAG <= mind and C < 1024:
             C *= 2
         n = len(sr)
-        # dense eligibility (_apply_fbdelay_dense): one full slice
-        # per fragment, full coverage in fragment order, constant
-        # slot spans, constant fb/ld/rd within the reference's 2^17
-        # window (native fbd_process masks every tap by 2^17-1)
+        # dense eligibility (_apply_fbdelay_dense): contiguous
+        # full-superblock coverage in time order (slices may split
+        # fragments — per-slice gain ramps — the device expands gains
+        # per sample), constant slot spans, constant fb/ld/rd within
+        # the reference's 2^17 window (native fbd_process masks every
+        # tap by 2^17-1).  fb/ld/rd become jit-time constants of the
+        # dense program (static ring slicing), so they also gate the
+        # signature (_repad keeps them sticky per song).
+        tpos = sr[:, SF_FRAG].astype(np.int64) * FRAG \
+            + sr[:, SF_OFF]
         dense = bool(
-            n == F
+            n > 0
             and mind >= FRAG
-            and (sr[:, SF_OFF] == 0).all()
-            and (sr[:, SF_FRM] == FRAG).all()
-            and (sr[:, SF_FRAG] == np.arange(F)).all()
+            and tpos[0] == 0
+            and (tpos[1:] == tpos[:-1] + sr[:-1, SF_FRM]).all()
+            and tpos[-1] + sr[-1, SF_FRM] == F * FRAG
             and all((sr[:, c] == sr[0, c]).all()
                     for c in (SF_SRC0, SF_SRC1, SF_DST0, SF_DST1,
                               SF_P0, SF_P1, SF_P2))
@@ -1019,7 +1025,7 @@ def program_from_native(rows, stages, stash, F, frag_sizes,
             # without wrapping (the dense path has no such bound: its
             # linear buffer is sized per superblock)
             raise Unsupported("superblock too long for fbdelay ring")
-        ns = n if dense else _quant(n, C)
+        ns = _quant(n, C)
         arr = np.zeros((ns, 13), np.int32)
         arr[:, :4] = ninst * F     # dead src/dst: keeps the emit's
         # sorted-segment invariant
@@ -1036,7 +1042,9 @@ def program_from_native(rows, stages, stash, F, frag_sizes,
             "stereoin": int(s0[SF_NI]) == 2,
             "stereoout": int(s0[SF_NO]) == 2,
             "add": bool(s0[SF_ADD]), "arr": arr, "n": n,
-            "chunk": C, "dense": dense})
+            "chunk": C, "dense": dense,
+            "fbpar": (int(s0[SF_P0]), int(s0[SF_P1]),
+                      int(s0[SF_P2])) if dense else (-1, -1, -1)})
 
     # ----- filter12 / dcblock / limiter: instance-batched per-sample
     # scans (serial state per instance persists on the device between
@@ -1863,32 +1871,32 @@ def _apply_fbdelay(slots, sig, arr, ring, bufpos):
     return slots, jnp.stack([L, R])
 
 
-def _apply_fbdelay_dense(slots, sig, arr, tail):
-    """Dense fbdelay: the superblock's slices are full, consecutive
-    fragments of one instance with constant fb/ld/rd delays
-    (host-verified at build, program_from_native), so the ring
-    becomes a LINEAR buffer [last 2^17 samples | superblock] with no
-    wrap arithmetic: the feedback scan's reads/writes and the ld/rd
-    reader taps are contiguous dynamic slices instead of the legacy
-    path's gather/scatter over an 8 MB ring (TPU scatter serializes
-    per element — it dominated the on-chip fbdelay cost), and the
-    persistent state shrinks to the reference's own 2^17 window.
+def _apply_fbdelay_dense(slots, sig, arr, tail, F):
+    """Dense fbdelay: the superblock is one CONTIGUOUS sample stream
+    of a single instance with constant fb/ld/rd delays and constant
+    slot spans (host-verified, program_from_native) — slices may
+    still split fragments (per-slice gain ramps), so the four gain
+    columns expand to per-sample vectors ON DEVICE from the slice
+    table (mark+cumsum+sorted-gather, the run-expansion trick).  The
+    ring is a LINEAR buffer [last 2^17 samples | superblock], and the
+    feedback scan carries only a ROLLING WINDOW of ceil(fb/CH)+1
+    chunks: fb/ld/rd are jit-time constants (part of the signature),
+    so every slice offset is STATIC — no gather/scatter, no dynamic
+    relayouts, no multi-MB carry.
 
-    sig: (stereoin, stereoout, add, chunk_frags); arr int32 [F, 13]
-    (same columns as the legacy table); tail int32 [2, FBD_TAIL],
-    time-ordered (tail[:, -1] = most recent sample).  Exactness
-    argument is the legacy path's: only the cross-feedback tap is
-    serial (chunk span <= fb/2 by the chunk rule), and a reader tap
-    at sample t reads t - d < t, already final.  Returns
+    sig: (stereoin, stereoout, add, chunk_frags, fb, ld, rd); arr
+    int32 [NS, 13] time-ordered slice rows (padding rows frames=0);
+    tail int32 [2, FBD_TAIL], time-ordered (tail[:, -1] = newest).
+    Exactness argument is the legacy path's: only the cross-feedback
+    tap is serial (CH <= fb by the chunk rule), and a reader tap at
+    sample t reads t - d < t, already final.  Returns
     (slots, new_tail)."""
-    stereoin, stereoout, add, C = sig
-    F = arr.shape[0]
+    stereoin, stereoout, add, C, fb, ld, rd = sig
     N = F * FRAG
     D = FBD_TAIL
     CH = C * FRAG
     NPad = ((N + CH - 1) // CH) * CH
     nsteps = NPad // CH
-    a = arr.astype(jnp.int64)
     s0 = arr[0, 0]
     s1 = arr[0, 1]
     src0 = jax.lax.dynamic_slice(
@@ -1897,13 +1905,21 @@ def _apply_fbdelay_dense(slots, sig, arr, tail):
         slots, (s1, _Z, _Z), (F, 2, FRAG))[:, 1 if stereoin else 0]
     i0 = src0.reshape(N)
     i1 = src1.reshape(N)
-    fb = arr[0, 6]
-    ld = arr[0, 7]
-    rd = arr[0, 8]
 
-    def bcast(col):
-        return jnp.broadcast_to(a[:, col:col + 1],
-                                (F, FRAG)).reshape(N)
+    # per-sample gains from the slice table: slice j covers samples
+    # [sum(frames[:j]), +frames[j]) — coverage is contiguous and
+    # time-ordered by eligibility, padding rows land at start N
+    frames = arr[:, 5]
+    starts = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(frames)[:-1]])
+    mark = jnp.zeros(N + 1, jnp.int32).at[
+        jnp.clip(starts, 0, N)].add(1)
+    sid = jnp.cumsum(mark[:N]) - 1
+    gains = jnp.take(arr[:, 9:13], jnp.clip(sid, 0, None),
+                     axis=0).astype(jnp.int64)    # [N, 4] sorted
+    dry = gains[:, 0]
+    lg = gains[:, 2]
+    rg = gains[:, 3]
 
     def padN(x):
         if NPad > N:
@@ -1913,33 +1929,43 @@ def _apply_fbdelay_dense(slots, sig, arr, tail):
 
     i01 = jnp.stack([padN(i0), padN(i1)]) \
         .reshape(2, nsteps, CH).transpose(1, 0, 2)
-    fbgc = padN(bcast(10)).reshape(nsteps, CH)
-    buf = jnp.concatenate(
-        [tail, jnp.zeros((2, NPad), jnp.int32)], axis=1)
+    fbgc = padN(gains[:, 1].astype(jnp.int32)) \
+        .reshape(nsteps, CH)
+    # rolling window: the last Lc chunks of the ring; the fb tap for
+    # the chunk being computed sits at constant offset Lc*CH - fb
+    Lc = -(-fb // CH) + 1
+    off = Lc * CH - fb
+    m = min(D, Lc * CH)
+    win = tail[:, D - m:]
+    if Lc * CH > m:
+        win = jnp.concatenate(
+            [jnp.zeros((2, Lc * CH - m), jnp.int32), win], axis=1)
 
-    def step(bf, xs):
-        x01, gc, i_ = xs
-        rstart = D + i_ * CH - fb
-        ftap = jax.lax.dynamic_slice(bf, (_Z, rstart), (2, CH))
+    def step(win, xs):
+        x01, gc = xs
+        ftap = jax.lax.slice(win, (0, off), (2, off + CH))
         # cross-feedback: left writes tap the RIGHT ring and vice
         # versa (fbdelay.c stereo-reversed taps)
-        o_fb = (ftap[::-1].astype(jnp.int64) * gc[None]) >> 16
+        o_fb = (ftap[::-1].astype(jnp.int64)
+                * gc.astype(jnp.int64)[None]) >> 16
         w = (x01.astype(jnp.int64) + o_fb).astype(jnp.int32)
-        bf = jax.lax.dynamic_update_slice(bf, w, (_Z, rstart + fb))
-        return bf, o_fb.astype(jnp.int32)
+        win = jnp.concatenate([win[:, CH:], w], axis=1)
+        return win, (w, o_fb.astype(jnp.int32))
 
-    buf, ofb = jax.lax.scan(
-        step, buf, (i01, fbgc, jnp.arange(nsteps, dtype=jnp.int32)))
+    _, (wall, ofb) = jax.lax.scan(step, win, (i01, fbgc))
+    buf = jnp.concatenate(
+        [tail, wall.transpose(1, 0, 2).reshape(2, NPad)], axis=1)
     ofb = ofb.transpose(1, 0, 2).reshape(2, NPad)[:, :N] \
         .astype(jnp.int64)
-    Ltap = jax.lax.dynamic_slice(buf[0], (D - ld,), (N,)) \
+    # reader taps: static slices (fb/ld/rd are signature constants)
+    Ltap = jax.lax.slice(buf[0], (D - ld,), (D - ld + N,)) \
         .astype(jnp.int64)
-    Rtap = jax.lax.dynamic_slice(buf[1], (D - rd,), (N,)) \
+    Rtap = jax.lax.slice(buf[1], (D - rd,), (D - rd + N,)) \
         .astype(jnp.int64)
-    out0 = ofb[0] + ((Ltap * bcast(11)) >> 16) \
-        + ((i0.astype(jnp.int64) * bcast(9)) >> 16)
-    out1 = ofb[1] + ((Rtap * bcast(12)) >> 16) \
-        + ((i1.astype(jnp.int64) * bcast(9)) >> 16)
+    out0 = ofb[0] + ((Ltap * lg) >> 16) \
+        + ((i0.astype(jnp.int64) * dry) >> 16)
+    out1 = ofb[1] + ((Rtap * rg) >> 16) \
+        + ((i1.astype(jnp.int64) * dry) >> 16)
     out0 = out0.astype(jnp.int32)
     out1 = out1.astype(jnp.int32)
     if not stereoout:
@@ -2837,10 +2863,20 @@ class DeviceMixer:
             dkey = ("fbdense", fd["unit_id"])
             sticky = hw.get(dkey, 1)
             nowd = int(bool(fd.get("dense"))) & sticky
+            # fb/ld/rd are jit-time constants of the dense program:
+            # if they drift between superblocks (ramped delay
+            # parameters), the song must stay on the legacy path —
+            # a per-superblock recompile would be worse
+            pkey = ("fbpar", fd["unit_id"])
+            if nowd:
+                par = fd.get("fbpar", (-1, -1, -1))
+                seen = hw.get(pkey)
+                if seen is None:
+                    hw[pkey] = par
+                elif seen != par:
+                    nowd = 0
             hw[dkey] = nowd
             fd["dense"] = bool(nowd)
-            if fd["dense"]:
-                continue               # dense tables are exactly [F]
             NS = fd["arr"].shape[0]
             C = fd["chunk"]
             NSp = grow(("fbd", fd["unit_id"], C), NS)
@@ -2944,10 +2980,14 @@ class DeviceMixer:
                           (st["arr"].shape[0],
                            st["dense"].shape[0]), ""))
         for fd in prog.fbdelays:
+            # fb/ld/rd ride the signature for dense instances: the
+            # dense program's ring slicing is STATIC in them
             items.append(("fbd", fd["key"],
                           (fd["arr"].shape[0], fd["stereoin"],
                            fd["stereoout"], fd["add"], fd["chunk"],
-                           bool(fd["dense"])),
+                           bool(fd["dense"]))
+                          + (tuple(fd.get("fbpar", (-1, -1, -1)))
+                             if fd["dense"] else ()),
                           str(fd["unit_id"])))
         for fl in prog.filters:
             # third extra element = float-tier eligibility: filter12
@@ -3065,11 +3105,14 @@ class DeviceMixer:
                         new_rings.append(fbd_rings[fi])
                         fi += 1
                         continue
-                    _, stereoin, stereoout, add, C, fdense = extra
+                    (_, stereoin, stereoout, add, C,
+                     fdense) = extra[:6]
                     if fdense:
+                        fb_, ld_, rd_ = extra[6:9]
                         slots, ring = _apply_fbdelay_dense(
-                            slots, (stereoin, stereoout, add, C),
-                            fbd_arrs[fi], fbd_rings[fi])
+                            slots, (stereoin, stereoout, add, C,
+                                    fb_, ld_, rd_),
+                            fbd_arrs[fi], fbd_rings[fi], F)
                     else:
                         slots, ring = _apply_fbdelay(
                             slots, (stereoin, stereoout, add, C),
