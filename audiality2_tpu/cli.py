@@ -252,8 +252,12 @@ def main(argv=None):
         # lossless for the product (the WAV writer's clip(x>>8) runs
         # on the chip); raw/stdout sinks keep the exact int32 master
         readback = "i16" if args.output else "exact"
+        # chain 4 superblocks per device dispatch: the link's
+        # per-dispatch poll cost amortizes across the chain; the
+        # extra chain compile hides behind the native bridge
         renderer = DeviceRenderer(i, channels=args.channels,
-                                  readback=readback)
+                                  readback=readback,
+                                  chain_dispatch=4)
         renderer.timestamp_reset()
         renderer.start(0, prog, *[float(a) for a in pargs])
     elif use_native:

@@ -71,8 +71,11 @@ def bench_device_path(seconds=192.0, samplerate=44100):
         # remote jit compile + pipelined render); the production
         # default bridges the compile through the native path — see
         # tpu_first_song_xrt below for that user-facing number.
+        # chain_dispatch=4: four consecutive superblocks per device
+        # call (state threads inside the jit) — the relay's
+        # per-dispatch completion-poll cost is paid once per chain
         r = DeviceRenderer(i, channels=1, readback="i16",
-                           bridge_compile=False)
+                           bridge_compile=False, chain_dispatch=4)
         # the once-per-process Mosaic warmup (40-900 s through this
         # deployment's relay, high variance; <1 s on a locally-attached
         # TPU) runs on a background thread — production renders bridge through the
@@ -123,7 +126,8 @@ def bench_first_song(seconds=192.0, samplerate=44100):
         from audiality2_tpu.engine.device_render import DeviceRenderer
         i = a2.open_engine(samplerate, 4096, 1, batched=False)
         song = i.get(i.load(K2TRANCE), "Song")
-        r = DeviceRenderer(i, channels=1, readback="i16")
+        r = DeviceRenderer(i, channels=1, readback="i16",
+                           chain_dispatch=4)
         if not r.wait_device(timeout=900):
             return None
         r.timestamp_reset()
@@ -177,7 +181,11 @@ def bench_serving(K=4, seconds=96.0, samplerate=44100):
                 events.append((_t.perf_counter(), n))
             jobs.append(StreamJob(i, prog, frames, channels=1,
                                   sink=sink))
-        render_multiplexed(jobs, bufsize=2752 * 64, readback="i16")
+        # batch=K: all K streams' superblocks dispatch as ONE chained
+        # device call per rotation (serve.render_multiplexed batch
+        # mode) — per-dispatch poll cost divides by K
+        render_multiplexed(jobs, bufsize=2752 * 64, readback="i16",
+                           batch=K)
         if any(j.error is not None for j in jobs) or not events:
             return None
         fell = sum(bool(j.renderer.fell_back) for j in jobs)

@@ -3,6 +3,12 @@
 are [Rout, W] int32 row gathers; per-call time via the amortized
 dispatch-window method (see bench_ops.py).
 
+CAVEAT (round 4): execution through the axon relay is LAZY — see the
+note in bench_ops.py; trust only tools/bench_true_compute.py-style
+chained+value-forced measurements for absolute numbers.  This file's
+finding stands qualitatively: no gather variant differs by the 1000x
+the naive timings suggested.
+
 Usage: python tools/bench_gather.py
 """
 

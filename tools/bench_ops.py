@@ -1,5 +1,13 @@
 """Op-level microbench for the superblock expansion's suspect ops.
 
+CAVEAT (round 4): execution through the axon relay is LAZY —
+block_until_ready can return before the program actually runs, so
+absolute numbers from this harness are unreliable (a 16-matmul chain
+"measures" 0.1 ms by block_until_ready, 40 ms by float(result)).
+Use tools/bench_true_compute.py (in-dispatch chaining + forced value
+readback) for trustworthy on-chip numbers; this file is kept for its
+candidate implementations.
+
 The component-removal probe (probe_compute.py) attributes cost by
 (FULL - variant) serial A/Bs, which relay weather drift can swamp.
 This tool times CANDIDATE IMPLEMENTATIONS of each hot op in

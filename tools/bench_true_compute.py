@@ -32,7 +32,7 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 # makes the whole program constant-foldable under the chain, so the
 # variant measures XLA DCE, not the gather (which bench_gather.py
 # shows is ~free anyway)
-PROBES = ["noexpand", "nokernel", "noscatter",
+PROBES = ["noexpand", "nokernel", "noscatter", "nopanmix",
           "noramp", "nostages", "nofbd", "nofilt"]
 
 
