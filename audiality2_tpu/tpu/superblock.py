@@ -261,6 +261,12 @@ def _probes():
       norungather replace the run->row field gather with a
                   contiguous read (isolates the gather's cost)
       noramp      skip the ramper-replay scan + trajectory gather
+      nopanmix    skip the per-sample int64 vol/pan ramp products
+                  (audio = masked oscillator output)
+      trajonly    compute the ramp scan + trajectory gather but do
+                  NOT substitute it into the row fields (isolates
+                  the replay's raw compute from its fusion coupling
+                  with the downstream int64 row math)
       nostages    skip panmix/copy/ws stage items
       nofbd       skip fbdelay items
       nofilt      skip filter/fm items
@@ -1465,6 +1471,15 @@ def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
                       axis=0)                        # [Rtot, 10] i32
         t64 = tg.astype(jnp.int64)
         use = (ridx >= 0) & (k >= 1) & alive
+        if "trajonly" in probe:         # perf diagnosis only
+            # force the replay's compute but keep the fields linear:
+            # a data-dependent comparison XLA cannot constant-fold
+            # keeps tg live while (in practice) adding 0
+            sent = jnp.int64(-(1 << 62) + 12345)
+            amp = amp + jnp.where(
+                t64.sum(axis=1) == sent, 1, 0).astype(amp.dtype)
+            use = jnp.zeros_like(alive)
+            has_ramp = False
         amp = jnp.where(use, tg[:, 0], amp)
         damp = jnp.where(use, tg[:, 1], damp)
         vol0 = jnp.where(use, tg[:, 2], vol0)
@@ -1542,6 +1557,19 @@ def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
     valid = (n >= off.astype(jnp.int64)[:, None]) \
         & (n < end[:, None])
     osc64 = osc.astype(jnp.int64)
+    if "nopanmix" in probe:             # perf diagnosis only
+        z64 = jnp.zeros_like(osc64)
+        audio = jnp.stack([jnp.where(valid, osc64, 0), z64],
+                          axis=1).astype(jnp.int32)
+        keys, perm = jax.lax.sort_key_val(
+            slot_r.astype(jnp.int32),
+            jnp.arange(Rtot, dtype=jnp.int32))
+        audio2 = jnp.take(audio.reshape(Rtot, 2 * FRAG), perm,
+                          axis=0)
+        seg = jax.ops.segment_sum(
+            audio2, keys, num_segments=slots.shape[0],
+            indices_are_sorted=True)
+        return slots + seg.reshape(slots.shape)
     # the int64 ramp is folded back through int32 so the wrap carry
     # introduced by the fragment-frame-0 normalization cancels: the
     # engine's true (never-overflowing) i32 value is recovered at
