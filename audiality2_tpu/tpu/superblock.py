@@ -1490,6 +1490,15 @@ def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
         ph = jnp.where(use,
                        (t64[:, 7] << 32) | (t64[:, 8] & 0xFFFFFFFF),
                        ph)
+        # materialize the substituted per-row vectors ONCE: without
+        # the barrier XLA duplicates the trajectory gather into every
+        # downstream fused consumer (the [Rtot, FRAG] vol/pan ramps,
+        # kernel param packing, noise inputs), re-evaluating it per
+        # consumer — measured ~22 ms of a k2trance superblock's
+        # 80 ms (trajonly probe)
+        (amp, damp, vol0, dvol, pan0, dpan, dph64, ph) = \
+            jax.lax.optimization_barrier(
+                (amp, damp, vol0, dvol, pan0, dpan, dph64, ph))
     else:
         use = jnp.zeros_like(alive)
     # noise draws consumed before this row's fragment (RAMP rows get
