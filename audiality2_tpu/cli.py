@@ -40,16 +40,79 @@ def write_wav(path, data_i24, samplerate, channels=1):
         f.write(pcm.tobytes())
 
 
-def dump_exports(i, module, with_asm=False):
-    from .constants import A2ObjType
-    bank = i.bank_of(module)
-    print(f"Exports of {bank.name}:")
-    for name, h in bank.exports.items():
-        t = i.typeof(h)
-        tn = i.state.ss.hm.type_name(t)
-        print(f"  {name:<24s} {tn} ({h})")
-        if with_asm and t == A2ObjType.PROGRAM:
-            print(i.dump_code(h, prefix="   "))
+_MAXINDENT = 32
+
+
+def _print_info(i, h, xname=None, indent=0, flags=frozenset()):
+    """Recursive object-info printout, the reference a2play's dump
+    tree (a2play/a2play.c:116-273 print_info): name, handle (-xh),
+    type, then type-specific details (wave geometry, constant value,
+    unit I/O + registers + constants), recursing into bank exports
+    and, with -xp, private symbols."""
+    from .constants import A2ObjType, WaveType, A2_LOOPED
+    indent = min(indent, _MAXINDENT)
+    prefix = "| " * indent
+    t = i.typeof(h)
+    name = xname or i.name_of(h)
+    line = prefix
+    line += f"{name:<24s}" if name else f"{h:<24d}"
+    if "handles" in flags:
+        line += f"{h:<8d}"
+    line += f"{i.state.ss.hm.type_name(t):<12s}"
+    if t == A2ObjType.WAVE:
+        w = i.get_wave(h)
+        line += f"{w.type.name:<8s}"
+        if w.type == WaveType.NOISE:
+            line += f" per: {w.period:<8d}"
+        elif w.type in (WaveType.WAVE, WaveType.MIPWAVE):
+            line += f" per: {w.period:<8d} size: {w.size[0]:<8d}"
+            if w.flags & A2_LOOPED:
+                line += " LOOPED"
+    elif t == A2ObjType.UNIT:
+        ud = i.unit_descs()[i.unit_index(h)]
+        line += (f"i: {ud.mininputs}     "
+                 if ud.mininputs == ud.maxinputs
+                 else f"i: {ud.mininputs}..{ud.maxinputs}  ") \
+            if ud.maxinputs else "i: ----  "
+        line += (f"o: {ud.minoutputs}     "
+                 if ud.minoutputs == ud.maxoutputs
+                 else f"o: {ud.minoutputs}..{ud.maxoutputs}  ") \
+            if ud.maxoutputs else "o: ----  "
+        if ud.registers:
+            line += "R: " + " ".join(ud.registers)
+        if ud.constants:
+            line += "   C: " + " ".join(
+                f"{n}:{v / 65536.0:g}" for n, v in ud.constants)
+    elif t == A2ObjType.CONSTANT:
+        line += f"{i.value_of(h):f}"
+    elif t == A2ObjType.STRING:
+        line += i.string_of(h)
+    print(line)
+    if "asm" in flags and t == A2ObjType.PROGRAM:
+        print(i.dump_code(h, prefix=prefix))
+    if t != A2ObjType.BANK:
+        return
+    bank = i.bank_of(h)
+    show_private = "private" in flags and bank.private
+    if bank.exports or show_private:
+        print(prefix + "|----------------(exports)"
+              + "-" * 21)
+        for n, x in bank.exports.items():
+            _print_info(i, x, n, indent + 1, flags)
+    if show_private:
+        print(prefix + "|-------------(private symbols)"
+              + "-" * 16)
+        for n, x in bank.private.items():
+            _print_info(i, x, n, indent + 1, flags)
+    if bank.exports or show_private:
+        print(prefix + "'" + "-" * 46)
+
+
+def dump_exports(i, module, flags=frozenset()):
+    """-x family: dump the module's (or with -xr the engine root's)
+    export tree (reference a2play.c dump_exports)."""
+    root = "root" in flags
+    _print_info(i, 0 if root else module, None, 0, flags)
 
 
 def run_live(i, prog, args):
@@ -137,7 +200,8 @@ def run_live(i, prog, args):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="a2play-tpu", add_help=True)
-    ap.add_argument("file", help=".a2s module to load")
+    ap.add_argument("file", nargs="?", default=None,
+                    help=".a2s module to load")
     ap.add_argument("-p", "--program", default=None,
                     help="program[,arg[,...]] to run (default: Song)")
     ap.add_argument("-st", "--stoptime", type=float, default=10.0,
@@ -151,6 +215,14 @@ def main(argv=None):
     ap.add_argument("-x", action="store_true", help="dump exports")
     ap.add_argument("-xa", action="store_true",
                     help="dump exports with VM assembly")
+    ap.add_argument("-xr", action="store_true",
+                    help="dump engine root exports")
+    ap.add_argument("-xp", action="store_true",
+                    help="dump with private symbols")
+    ap.add_argument("-xh", action="store_true",
+                    help="dump with object handles")
+    ap.add_argument("-v", "--version", action="store_true",
+                    help="print engine version and exit")
     ap.add_argument("--interleaved", action="store_true",
                     help="use the interleaved (non-batched) engine")
     ap.add_argument("-M", "--midi", default=None, metavar="FILE.mid",
@@ -185,6 +257,12 @@ def main(argv=None):
                          "and rendered realtime-paced; -o writes the "
                          "session WAV")
     args = ap.parse_args(argv)
+    if args.version:
+        from . import __version__
+        print(f"audiality2-tpu a2play\nEngine v{__version__}")
+        return 0
+    if args.file is None:
+        ap.error("a .a2s module file is required")
 
     from . import open_engine
     i = open_engine(args.rate, 4096, args.channels,
@@ -193,8 +271,17 @@ def main(argv=None):
     module = i.load(args.file)
     print(f"Loaded \"{args.file}\"")
 
-    if args.x or args.xa:
-        dump_exports(i, module, with_asm=args.xa)
+    if args.x or args.xa or args.xr or args.xp or args.xh:
+        flags = set()
+        if args.xa:
+            flags.add("asm")
+        if args.xr:
+            flags.add("root")
+        if args.xp:
+            flags.add("private")
+        if args.xh:
+            flags.add("handles")
+        dump_exports(i, module, frozenset(flags))
 
     progspec = args.program or "Song"
     parts = progspec.split(",")
@@ -312,7 +399,8 @@ def main(argv=None):
             if lastpeak > args.rate:
                 break
     dt = time.perf_counter() - t0
-    audio = np.concatenate(out)
+    audio = np.concatenate(out) if out \
+        else np.zeros(0, np.int32)           # -st 0: dump-only run
     secs = len(audio) / args.rate / args.channels
     print(f"a2play-tpu: rendered {len(audio)} frames "
           f"({secs:.2f} s) in {dt:.2f} s ({secs / dt:.1f}x realtime)")
