@@ -154,6 +154,11 @@ class DeviceRenderer:
         # steady-state overhead through a congested relay, is paid
         # once per group instead of once per superblock
         self.chain_dispatch = max(1, int(chain_dispatch))
+        # chain-shape compile done (render() groups superblocks only
+        # after this fires; singles stream meanwhile, so the chain
+        # costs a cold render nothing)
+        import threading as _t
+        self._chain_ready = _t.Event()
         self._song_ready = None  # precompile-done event (render())
         self._calls = []         # replayed on native fallback
         self._pending = None     # (prog, frames) in-flight superblock
@@ -259,6 +264,15 @@ class DeviceRenderer:
         self._rendered += frames
         return np.stack(bufs)
 
+    def _warm_chain(self, prog, C):
+        """Compiles the C-superblock chain shape, then lets render()
+        start grouping (singles stream until then)."""
+        try:
+            self.mixer.precompile_chain(prog, C)
+        except Exception:
+            pass
+        self._chain_ready.set()
+
     def _profile(self, total_frames, bufsize):
         """Record-only dry pass over the whole render on a scratch
         native state: warms the mixer's shape high-water marks and
@@ -335,6 +349,10 @@ class DeviceRenderer:
         #                    is full, or the song has drained
         from collections import deque
         C = self.chain_dispatch
+        if C <= 1 or self.mixer.interpret:
+            # no chain compile to wait for (interpret mode compiles
+            # locally per call; tests exercise chains immediately)
+            self._chain_ready.set()
         depth = max(self.pipeline_depth, C)
         rec_out = []             # built programs awaiting dispatch
         disp = None              # running dispatch thread
@@ -387,26 +405,29 @@ class DeviceRenderer:
                             def warm_song():
                                 try:
                                     self.mixer.precompile(prog_p)
-                                    if C > 1:
-                                        self.mixer.precompile_chain(
-                                            prog_p, C)
                                 except Exception:
                                     pass
                                 finally:
                                     ev.set()
+                                self._warm_chain(prog_p, C)
                             threading.Thread(target=warm_song,
                                              daemon=True).start()
                             continue
                         # inline: same AOT compile, before the first
-                        # record (no mid-pipeline stall either way)
+                        # record (no mid-pipeline stall either way).
+                        # The chain shape compiles on a background
+                        # thread — the render dispatches singles at
+                        # full device-true rate until it lands, so
+                        # the chain costs a cold render nothing
                         try:
                             self.mixer.precompile(
                                 self._profiled_prog)
-                            if C > 1:
-                                self.mixer.precompile_chain(
-                                    self._profiled_prog, C)
                         except Exception:
                             pass
+                        threading.Thread(
+                            target=self._warm_chain,
+                            args=(self._profiled_prog, C),
+                            daemon=True).start()
                 # always a full superblock (stable jit signature);
                 # emit() trims the tail past total_frames
                 frames = bufsize
@@ -460,7 +481,8 @@ class DeviceRenderer:
                     n = emitted[0]
                     continue
                 inflight.extend(dres[0])
-            if rec_out and (len(rec_out) >= C or n >= total_frames):
+            if rec_out and (len(rec_out) >= C or n >= total_frames
+                            or not self._chain_ready.is_set()):
                 grp = rec_out
                 rec_out = []
 

@@ -104,9 +104,13 @@ def bench_device_path(seconds=192.0, samplerate=44100):
         r.close()
         if r.fell_back or not warmed or bridged or len(marks) < 8:
             return None, None, warm_s
-        gaps = sorted(marks[i + 1] - marks[i]
-                      for i in range(len(marks) // 2, len(marks) - 1))
-        steady_xrt = (BUF / samplerate) / gaps[len(gaps) // 2]
+        # steady = frames/wall over the middle half of the emission
+        # timeline — robust to the BURSTY completion pattern of
+        # chained dispatch (a chain's superblocks all become ready
+        # together, so median inter-chunk gaps lie)
+        q1, q3 = len(marks) // 4, 3 * len(marks) // 4
+        steady_xrt = ((q3 - q1) * BUF / samplerate) \
+            / (marks[q3] - marks[q1])
         return (total / samplerate) / wall, steady_xrt, warm_s
     except Exception as e:
         print(f"# device path bench failed: {e}", file=sys.stderr)
