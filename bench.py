@@ -74,8 +74,12 @@ def bench_device_path(seconds=192.0, samplerate=44100):
         # chain_dispatch=4: four consecutive superblocks per device
         # call (state threads inside the jit) — the relay's
         # per-dispatch completion-poll cost is paid once per chain
+        # pipeline_depth 8: the relay's completion-poll latency
+        # amortizes across the in-flight window (DESIGN: 389 ms
+        # blocking one-at-a-time vs 212 ms/superblock at depth 8)
         r = DeviceRenderer(i, channels=1, readback="i16",
-                           bridge_compile=False, chain_dispatch=4)
+                           bridge_compile=False, chain_dispatch=4,
+                           pipeline_depth=8)
         # the once-per-process Mosaic warmup (40-900 s through this
         # deployment's relay, high variance; <1 s on a locally-attached
         # TPU) runs on a background thread — production renders bridge through the
@@ -131,7 +135,7 @@ def bench_first_song(seconds=192.0, samplerate=44100):
         i = a2.open_engine(samplerate, 4096, 1, batched=False)
         song = i.get(i.load(K2TRANCE), "Song")
         r = DeviceRenderer(i, channels=1, readback="i16",
-                           chain_dispatch=4)
+                           chain_dispatch=4, pipeline_depth=8)
         if not r.wait_device(timeout=900):
             return None
         r.timestamp_reset()
@@ -187,9 +191,11 @@ def bench_serving(K=4, seconds=96.0, samplerate=44100):
                                   sink=sink))
         # batch=K: all K streams' superblocks dispatch as ONE chained
         # device call per rotation (serve.render_multiplexed batch
-        # mode) — per-dispatch poll cost divides by K
-        render_multiplexed(jobs, bufsize=2752 * 64, readback="i16",
-                           batch=K)
+        # mode) — per-dispatch poll cost divides by K.  12 s
+        # superblocks (the solo bench's sweet spot) + a 2-batch
+        # in-flight window
+        render_multiplexed(jobs, bufsize=8268 * 64, readback="i16",
+                           batch=K, pipeline_depth=2 * K)
         if any(j.error is not None for j in jobs) or not events:
             return None
         fell = sum(bool(j.renderer.fell_back) for j in jobs)
@@ -243,29 +249,36 @@ def bench_osc_kernel(R=16384, samplerate=44100, quality=0):
         cls, t, p, _ = max(calls, key=lambda c: c[1].shape[0])
         tj, pj = jnp.asarray(t), jnp.asarray(p)
 
-        # the relay content-caches results for identical inputs, so
-        # every rep must compute fresh data: a per-rep scalar seed
-        # perturbs the amp-0 param rows ON DEVICE (phase rows stay
-        # put, so table lookups remain in range) — the whole kernel
-        # re-runs, while the h2d cost of the perturbation is 4 bytes
+        # measurement honesty through this relay (round 4): execution
+        # is LAZY — block_until_ready can return before the program
+        # runs, and independent dispatches may not all execute before
+        # a block on the last one.  The kernel therefore runs as a
+        # CHAIN of data-dependent evaluations inside ONE jit call
+        # (each rep's amp params are perturbed by a value derived
+        # from the previous rep's output, so nothing can be elided or
+        # reordered), and the result is forced with a value readback.
+        REPS = 10
+
         def run(t_, p_, s_):
             rowk = jnp.arange(p_.shape[0], dtype=jnp.int32) \
                 % OK.NPARAM
-            p_ = jnp.where((rowk == OK.P_AMP0)[:, None], p_ + s_, p_)
-            return OK._osc_call(cls, t_, p_, dev, quality=quality)
+            acc = jnp.int32(s_)
+            for k in range(REPS):
+                pk = jnp.where((rowk == OK.P_AMP0)[:, None],
+                               p_ + acc + k, p_)
+                o = OK._osc_call(cls, t_, pk, dev, quality=quality)
+                acc = acc + o[0, 0] + o[-1, -1]
+            return acc
 
         fn = jax.jit(run)
-        fn(tj, pj, jnp.int32(0)).block_until_ready()
+        int(fn(tj, pj, jnp.int32(0)))     # compile + warm (forced)
         # best of 3 groups: shared-host relay noise is +-15%, and a
         # single slow group under-reports the kernel by ~2x
         best = None
         for grp in range(3):
             t0 = _t.perf_counter()
-            reps = 10
-            for k in range(reps):
-                o = fn(tj, pj, jnp.int32(grp * reps + k + 1))
-            o.block_until_ready()
-            dt = (_t.perf_counter() - t0) / reps
+            int(fn(tj, pj, jnp.int32(grp + 1)))
+            dt = (_t.perf_counter() - t0) / REPS
             best = dt if best is None else min(best, dt)
         return R * 64 / best
     except Exception as e:
