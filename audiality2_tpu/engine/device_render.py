@@ -358,19 +358,24 @@ class DeviceRenderer:
         disp = None              # running dispatch thread
         dres = [None, None]      # dispatch (handles, error)
         inflight = deque()       # dispatched handles awaiting fetch
-        fetcher = None           # thread filling fetched[0]
-        fetched = [None, None]
+        # fetch POOL: each entry [thread, [out, err]], oldest first.
+        # The relay's completion poll costs hundreds of ms PER FETCH
+        # and executes lazily — with one fetcher at a time the poll
+        # serializes per superblock and binds the whole steady rate;
+        # a few concurrent fetchers overlap the polls (emission stays
+        # in order: only the oldest is ever emitted)
+        FPOOL = min(3, depth)
+        fpool = deque()
 
         def drain_inflight():
             # best-effort in-order fetch of everything the device
             # already has, so a relay fault loses no finished audio
-            nonlocal fetcher
             ok = True
-            if fetcher is not None:
-                fetcher.join()
-                fetcher = None
-                if fetched[0] is not None:
-                    emit(fetched[0])
+            while fpool:
+                th, slot = fpool.popleft()
+                th.join()
+                if ok and slot[0] is not None:
+                    emit(slot[0])
                 else:
                     ok = False
             while ok and inflight:
@@ -383,7 +388,7 @@ class DeviceRenderer:
         n = 0
         while n < total_frames or rec_out \
                 or disp is not None or inflight \
-                or fetcher is not None:
+                or fpool:
             blocked = False      # did this iteration do blocking work
             if n < total_frames and not self.fell_back \
                     and self._device_ready() and len(rec_out) < C \
@@ -449,7 +454,7 @@ class DeviceRenderer:
                     blocked = True
             elif n < total_frames and not rec_out \
                     and disp is None and not inflight \
-                    and fetcher is None:
+                    and not fpool:
                 # native bridge: fell back, or the per-process kernel
                 # warmup hasn't finished yet (bit-exact either way).
                 # Runs only once in-flight superblocks have drained,
@@ -503,16 +508,23 @@ class DeviceRenderer:
                         dres[1] = e
                 disp = threading.Thread(target=put)
                 disp.start()
-            if fetcher is not None and (not fetcher.is_alive()
-                                        or len(inflight) >= depth
-                                        or not blocked):
-                fetcher.join()
-                fetcher = None
-                if fetched[0] is None:
+            if fpool and (not fpool[0][0].is_alive()
+                          or len(inflight) + len(fpool) >= depth
+                          or not blocked):
+                th, slot = fpool.popleft()
+                th.join()
+                if slot[0] is None:
                     import sys
                     print("a2 device: superblock fetch failed, "
-                          "bridging natively: %r" % (fetched[1],),
+                          "bridging natively: %r" % (slot[1],),
                           file=sys.stderr)
+                    # the failed handle is the OLDEST: drop every
+                    # newer in-flight/pooled superblock (emitting any
+                    # would leave a gap) and restart natively at the
+                    # emitted frontier
+                    for th2, _ in fpool:
+                        th2.join()
+                    fpool.clear()
                     inflight.clear()
                     self._fallback(emitted[0],
                                    total_frames - emitted[0])
@@ -520,19 +532,19 @@ class DeviceRenderer:
                     disp = None
                     n = emitted[0]
                     continue
-                emit(fetched[0])
-            if fetcher is None and inflight:
+                emit(slot[0])
+            while len(fpool) < FPOOL and inflight:
                 h = inflight.popleft()
+                slot = [None, None]
 
-                def go(h=h):
-                    fetched[0] = None
-                    fetched[1] = None
+                def go(h=h, slot=slot):
                     try:
-                        fetched[0] = self.mixer.fetch(h)
+                        slot[0] = self.mixer.fetch(h)
                     except BaseException as e:
-                        fetched[1] = e
-                fetcher = threading.Thread(target=go)
-                fetcher.start()
+                        slot[1] = e
+                th = threading.Thread(target=go)
+                th.start()
+                fpool.append((th, slot))
         if sink is not None:
             return None
         return np.concatenate(chunks, axis=1)

@@ -126,25 +126,33 @@ def fleet_hbm_plan(mixer, progs, pipeline_depth=3,
     in flight.  The default budget leaves ~2 GB of a v5e's 16 GB for
     XLA scratch/fragmentation.  Returns the plan dict; raises
     A2HbmBudgetError when it does not fit."""
-    persistent = working = 0
+    persistent = execb = flight = 0
     for p in progs:
         b = mixer.device_bytes(p)
         persistent += b["persistent"]
-        working = max(working, b["working"])
+        # expansion intermediates live only while a program EXECUTES
+        # (one at a time; x2 covers enqueue/execute overlap), while
+        # every in-flight superblock holds its input blob + master
+        execb = max(execb, b.get("exec", b["working"]))
+        flight = max(flight,
+                     b.get("blob", 0) + b.get("master", 0))
         atlas = b["atlas"]
-    total = persistent + (pipeline_depth + 1) * working + atlas
+    total = persistent + 2 * execb \
+        + (pipeline_depth + 1) * flight + atlas
     plan = {"streams": len(progs), "persistent": persistent,
-            "working_per_dispatch": working, "atlas": atlas,
+            "exec_per_dispatch": execb,
+            "flight_per_superblock": flight, "atlas": atlas,
             "inflight": pipeline_depth + 1, "total": total,
             "budget": hbm_budget}
     if total > hbm_budget:
         raise A2HbmBudgetError(
             "fleet HBM plan %.2f GB exceeds budget %.2f GB "
-            "(%d streams: %.2f GB persistent + %d x %.2f GB "
-            "in flight + %.2f GB atlas)" % (
-                total / 2**30, hbm_budget / 2**30, len(progs),
-                persistent / 2**30, pipeline_depth + 1,
-                working / 2**30, atlas / 2**30))
+            "(%d streams: %.2f GB persistent + 2 x %.2f GB "
+            "executing + %d x %.2f GB in flight + %.2f GB atlas)"
+            % (total / 2**30, hbm_budget / 2**30, len(progs),
+               persistent / 2**30, execb / 2**30,
+               pipeline_depth + 1, flight / 2**30,
+               atlas / 2**30))
     return plan
 
 

@@ -3076,15 +3076,23 @@ class DeviceMixer:
                 persistent += e[1] * (8 if k[2] == "lim" else 16)
         _, blob_total = _blob_layout(sig)
         Rtot = sum(NB * OK.RPB for _, NB in rows_sig)
-        working = blob_total * 4
-        working += (ninst * F + 1) * 2 * FRAG * 4          # slots
-        working += Rtot * 2 * FRAG * 4                     # row audio
+        blob = blob_total * 4
+        execb = (ninst * F + 1) * 2 * FRAG * 4             # slots
+        execb += Rtot * 2 * FRAG * 4                       # row audio
         if ramppad:
-            working += (RUN_KCHUNK - 1) * ramppad * 10 * 4  # traj
-        working += ns * 2 * FRAG * 4 + nsm * FRAG * 4      # stash
-        working += F * mch * FRAG * (2 if readback == "i16" else 4)
+            execb += (RUN_KCHUNK - 1) * ramppad * 10 * 4   # traj
+        execb += ns * 2 * FRAG * 4 + nsm * FRAG * 4        # stash
+        master = F * mch * FRAG * (2 if readback == "i16" else 4)
         atlas = self.core._pair_atlas
-        return {"persistent": persistent, "working": working,
+        return {"persistent": persistent,
+                # split (round 4): only the EXECUTING program holds
+                # its expansion intermediates — an in-flight
+                # superblock awaiting fetch holds just its input blob
+                # and master output, so a deep pipeline must not be
+                # charged depth x exec (the round-3 plan was, and
+                # refused fleets that actually fit comfortably)
+                "blob": blob, "exec": execb, "master": master,
+                "working": blob + execb + master,
                 "atlas": (atlas.data.nbytes
                           if atlas is not None and atlas.data
                           is not None else 0)}
