@@ -19,6 +19,8 @@ so a fresh native state is built — cheap, it's one compile-free
 object upload).
 """
 
+import os
+
 import numpy as np
 
 from ..native import NativeRenderer
@@ -364,7 +366,8 @@ class DeviceRenderer:
         # serializes per superblock and binds the whole steady rate;
         # a few concurrent fetchers overlap the polls (emission stays
         # in order: only the oldest is ever emitted)
-        FPOOL = min(3, depth)
+        FPOOL = min(int(os.environ.get("A2_FETCH_POOL", "3")),
+                    depth)
         fpool = deque()
 
         def drain_inflight():
