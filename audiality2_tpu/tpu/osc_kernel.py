@@ -48,10 +48,20 @@ from ..constants import A2_MAXFRAG, A2_WAVEPRE
 
 FRAG = A2_MAXFRAG           # 64 frames per row
 RPB = 128                   # rows per block (lane axis)
-NPARAM = 8                  # packed param sublanes per block
+NPARAM = 16                 # packed param sublanes per block
 
-# param sublane indices within a block's (NPARAM, RPB) tile
-P_POS0, P_F0, P_DPOS, P_DF, P_AMP0, P_DAMP = range(6)
+# param sublane indices within a block's (NPARAM, RPB) tile.
+# Slots 6..12 feed the FUSED per-row panmix (reference
+# src/units/panmix.c panmix_process12/process11): the vol/pan ramp
+# bases+deltas (int32-wrap per-sample recurrences), the row's valid
+# sample range [OFF, END), and the row mode bits.
+(P_POS0, P_F0, P_DPOS, P_DF, P_AMP0, P_DAMP,
+ P_VOL0, P_DVOL, P_PAN0, P_DPAN, P_OFF, P_END, P_MODE) = range(13)
+
+# row mode bits (shared with superblock.py's row tables)
+ROW_HASPM = 1               # row passes through a panmix stage
+ROW_STEREO = 2              # panmix 1->2 (else 1->1 vol only)
+ROW_CLAMP = 4               # panmix clamps v0/v1 at 2*vol
 
 # pass classes compiled as separate kernels; 18 covers a mip-0
 # 2048-entry table plus its interpolation/run-ahead padding
@@ -76,7 +86,32 @@ def _ta_rows(src, idx, interpret):
         mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
 
 
-def _make_kernel(npass, interpret=False, quality=0):
+def _mul_shr24(x, y):
+    """Low 32 bits of ((int64)x * y) >> 24 in pure int32 lanes —
+    the panmix product (reference panmix.c:91,104-110: the C engine
+    assigns the shifted 64-bit product to a 32-bit int, and the
+    downstream audio accumulation wraps at 32 bits anyway).
+
+    16-bit limb decomposition with unsigned low halves:
+        P = x*y = 2^32*(xh*yh + (t>>16) + (t2>>16))
+                  + 2^16*(t2 & 0xFFFF) + (p0 & 0xFFFF)
+        t  = xh*yl + (p0 >>> 16)      (exact: |xh*yl| < 2^31 - 2^16)
+        t2 = xl*yh + (t & 0xFFFF)
+    so bits 24..55 of P are ((hi << 8) | (lo >>> 24)) with hi/lo the
+    two product words (hi only needed mod 2^32)."""
+    xl = x & 0xFFFF
+    xh = x >> 16
+    yl = y & 0xFFFF
+    yh = y >> 16
+    p0 = xl * yl
+    t = xh * yl + jax.lax.shift_right_logical(p0, 16)
+    t2 = xl * yh + (t & 0xFFFF)
+    hi = xh * yh + (t >> 16) + (t2 >> 16)
+    lo = (t2 << 16) | (p0 & 0xFFFF)
+    return (hi << 8) | jax.lax.shift_right_logical(lo, 24)
+
+
+def _make_kernel(npass, interpret=False, quality=0, fused_pm=True):
     def kern(tbase_ref, param_ref, atlas_ref, out_ref):
         n = jax.lax.broadcasted_iota(jnp.int32, (FRAG, RPB), 0)
         P = param_ref[:]
@@ -166,15 +201,51 @@ def _make_kernel(npass, interpret=False, quality=0):
         a2 = amp >> 28
         a1 = (amp >> 14) & 0x3FFF
         a0 = amp & 0x3FFF
-        out_ref[:] = (((v * a2) << 11)
-                      + (((v * a1) + ((v * a0) >> 14)) >> 3))
+        x = (((v * a2) << 11)
+             + (((v * a1) + ((v * a0) >> 14)) >> 3))
+
+        # fused per-row panmix (panmix.c panmix_process12/11): the
+        # vol/pan per-sample ramps, stereo position, 2*vol clamp and
+        # the row's [OFF, END) validity window all evaluate here in
+        # int32 lanes — C's exact semantics (the reference computes
+        # in 32-bit ints with 64-bit products) — so the XLA side
+        # never materializes a per-sample int64 row matrix.
+        off = P[P_OFF][None, :]
+        end = P[P_END][None, :]
+        valid = (n >= off) & (n < end)
+        if not fused_pm:
+            # attribution variant (A2_COMPUTE_PROBE=nopanmix): raw
+            # amped oscillator rows, masked, mono
+            out_ref[0:FRAG] = jnp.where(valid, x, 0)
+            out_ref[FRAG:] = jnp.zeros((FRAG, RPB), jnp.int32)
+            return
+        vol = P[P_VOL0][None, :] + n * P[P_DVOL][None, :]
+        pan = P[P_PAN0][None, :] + n * P[P_DPAN][None, :]
+        vp = _mul_shr24(pan, vol)
+        v0 = vol - vp
+        v1 = vol + vp
+        lim = vol << 1
+        mode = P[P_MODE][None, :]
+        clampf = (mode & ROW_CLAMP) != 0
+        v0 = jnp.where(clampf, jnp.minimum(v0, lim), v0)
+        v1 = jnp.where(clampf, jnp.minimum(v1, lim), v1)
+        haspm = (mode & ROW_HASPM) != 0
+        stereo = (mode & ROW_STEREO) != 0
+        mono = _mul_shr24(x, vol)
+        lch = _mul_shr24(x, v0)
+        rch = _mul_shr24(x, v1)
+        ch0 = jnp.where(haspm, jnp.where(stereo, lch, mono), x)
+        ch1 = jnp.where(haspm & stereo, rch, 0)
+        out_ref[0:FRAG] = jnp.where(valid, ch0, 0)
+        out_ref[FRAG:] = jnp.where(valid, ch1, 0)
     return kern
 
 
 def _osc_call(npass, tbase, params, atlas_pairs, interpret=False,
-              quality=0):
+              quality=0, fused_pm=True):
     """One pass-class pallas call: params (NB*NPARAM, RPB) int32,
-    tbase (NB,) int32 -> (FRAG, NB*RPB) int32 oscillator audio.
+    tbase (NB,) int32 -> (2*FRAG, NB*RPB) int32 pan-mixed audio
+    (sublanes 0..63 = channel 0, 64..127 = channel 1).
 
     interpret=True runs the kernel in the Pallas interpreter — used by
     the default (CPU) test suite so the device code path is exercised
@@ -189,13 +260,14 @@ def _osc_call(npass, tbase, params, atlas_pairs, interpret=False,
         in_specs=[pl.BlockSpec((NPARAM, RPB), lambda b, tb: (b, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((FRAG, RPB), lambda b, tb: (0, b),
+        out_specs=pl.BlockSpec((2 * FRAG, RPB), lambda b, tb: (0, b),
                                memory_space=pltpu.VMEM),
     )
     f = pl.pallas_call(
-        _make_kernel(npass, interpret, quality), grid_spec=gs,
-        interpret=interpret,
-        out_shape=jax.ShapeDtypeStruct((FRAG, NB * RPB), jnp.int32))
+        _make_kernel(npass, interpret, quality, fused_pm),
+        grid_spec=gs, interpret=interpret,
+        out_shape=jax.ShapeDtypeStruct((2 * FRAG, NB * RPB),
+                                       jnp.int32))
     # x64 mode makes Pallas' grid/index machinery trace as i64, which
     # Mosaic cannot legalize; the kernel itself is pure int32, so
     # trace it with x64 off (the global flag is set by tpu/kernels.py
@@ -329,6 +401,9 @@ class OscBatch:
                         continue
                     _, _, pos0, f0, dpos, df, amp0, damp = self.rows[ri]
                     params[b, :6, l] = (pos0, f0, dpos, df, amp0, damp)
+                    # no panmix: mode 0 passes the amped sample
+                    # through on channel 0, full validity window
+                    params[b, P_END, l] = FRAG
             out.append((cls, tbase_arr, params.reshape(-1, RPB), order))
         return out
 
@@ -350,7 +425,9 @@ def evaluate_osc_batch(batch, device_atlas, interpret=False,
         res = _osc_call(cls, jnp.asarray(tbase_arr),
                         jnp.asarray(params), device_atlas,
                         interpret=interpret, quality=quality)
-        res = np.asarray(res)                 # (FRAG, NB*RPB)
+        # (2*FRAG, NB*RPB): channel-0 sublanes carry the raw amped
+        # rows (OscBatch packs mode=0 = no panmix, END=FRAG)
+        res = np.asarray(res)[:FRAG]
         flat = order.reshape(-1)
         keep = flat >= 0
         outs[flat[keep]] = res.T[keep]

@@ -179,10 +179,11 @@ class SuperblockProgram:
         self.filters = []
 
 
-# mode bits for rows
-_ROW_HASPM = 1
-_ROW_STEREO = 2
-_ROW_CLAMP = 4
+# mode bits for rows (bits 1/2/4 are shared with the fused panmix
+# in the pallas kernel — keep in sync with osc_kernel.ROW_*)
+_ROW_HASPM = OK.ROW_HASPM       # 1
+_ROW_STEREO = OK.ROW_STEREO     # 2
+_ROW_CLAMP = OK.ROW_CLAMP       # 4
 # noise row (native a2rt_record.inc RM_NOISE): the run is a pitched
 # S&H LCG oscillator (reference wtosc.c:129-152); RC_SIZE carries the
 # global RNG state and RC_POSOFF the held sample at the run's first
@@ -1512,20 +1513,34 @@ def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
     damp = damp * az
     dph32 = dph64.astype(jnp.int32)
     zeros = jnp.zeros_like(pos)
-    fields = [pos, f, (dph32 >> 24) * az, (dph32 & 0xFFFFFF) * az,
-              amp, damp, zeros, zeros]
 
     off = jnp.where(k == 0, g[:, RC_OFF], 0)
+    end = jnp.clip(g[:, RC_OFF].astype(jnp.int64)
+                   + g[:, RC_TOTAL].astype(jnp.int64)
+                   - (k64 << 6), 0, FRAG)
+    end = jnp.where(alive, end, 0)
+    slot_r = jnp.where(alive, g[:, RC_SLOT] + k, dead_slot)
+    mode = g[:, RC_MODE]
+    fused = "nopanmix" not in probe
+    # panmix ramp bases/deltas folded to int32: the per-sample
+    # recurrences wrap at 32 bits (C semantics), so the int64 deltas
+    # are congruent mod 2^32 and the kernel's int32-wrap evaluation
+    # reproduces the engine's true (never-overflowing) i32 values
+    fields = [pos, f, (dph32 >> 24) * az, (dph32 & 0xFFFFFF) * az,
+              amp, damp, vol0, dvol.astype(jnp.int32), pan0,
+              dpan.astype(jnp.int32), off, end.astype(jnp.int32),
+              mode, zeros, zeros, zeros]
+
     outs = []
     b0 = 0
     for (cls, NB), tb in zip(class_sig, tbase_devs):
         if not NB:
             continue
         P = NB * OK.RPB
+        sl = slice(b0, b0 + P)
         if cls == 0:
             # table-less class: S&H LCG noise replay, or a dc row
             # (dc.c LINEAR), whose output IS the amp trajectory
-            sl = slice(b0, b0 + P)
             res = _noise_audio(
                 g[sl, RC_SIZE], g[sl, RC_POSOFF], ph[sl],
                 dph64[sl] & 0xFFFFFFFF,
@@ -1537,52 +1552,65 @@ def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
             dcres = _w32(amp[sl].astype(jnp.int64)[:, None]
                          + nn_ * damp[sl].astype(jnp.int64)[:, None])
             res = jnp.where(dcf, dcres.astype(res.dtype), res)
-            outs.append(res)                    # (P, 64)
+            outs.append(_panmix_rows(
+                res, vol0[sl], dvol[sl], pan0[sl], dpan[sl],
+                off[sl], end[sl], mode[sl], fused))   # (P, 2*64)
             b0 += P
             continue
         par = jnp.stack(
-            [x[b0:b0 + P].reshape(NB, OK.RPB) for x in fields],
+            [x[sl].reshape(NB, OK.RPB) for x in fields],
             axis=1).reshape(NB * OK.NPARAM, OK.RPB)
         if "nokernel" in probe:
-            res = jnp.zeros((FRAG, P), jnp.int32)
+            res = jnp.zeros((2 * FRAG, P), jnp.int32)
         else:
+            # the kernel applies the per-row panmix + the [OFF, END)
+            # validity window IN the pallas program (2 output
+            # channel sublanes per row) — the XLA side never builds
+            # a per-sample int64 row matrix
             res = OK._osc_call(cls, tb, par, atlas,
-                               interpret=interpret, quality=quality)
-        outs.append(res.T)                      # (P, 64)
+                               interpret=interpret, quality=quality,
+                               fused_pm=fused)
+        outs.append(res.T)                      # (P, 2*64)
         b0 += P
-    osc = jnp.concatenate(outs, axis=0)         # [Rtot, FRAG]
+    audio = jnp.concatenate(outs, axis=0)       # [Rtot, 2*FRAG] i32
 
-    # per-row panmix: vol/pan row-k bases computed above (linear
-    # int32-wrap prediction, or the _ramp_scan replay for RAMP rows),
-    # evaluated at absolute intra-fragment samples
-    end = jnp.clip(g[:, RC_OFF].astype(jnp.int64)
-                   + g[:, RC_TOTAL].astype(jnp.int64)
-                   - (k64 << 6), 0, FRAG)
-    end = jnp.where(alive, end, 0)
-    slot_r = jnp.where(alive, g[:, RC_SLOT] + k, dead_slot)
-    mode = g[:, RC_MODE]
+    if "noscatter" in probe:        # perf diagnosis only
+        return slots.at[0].add(audio.sum(axis=0).reshape(2, FRAG))
+    # rows stay in class/table order for the kernel, so slot ids
+    # can't be PRE-sorted — but an on-device key sort + row gather
+    # turns the accumulation into a sorted segment-sum, which the
+    # TPU backend lowers to a vectorized segmented reduce instead of
+    # a per-duplicate serializing scatter (measured ~3x on the slot
+    # volume; the sort itself is over Rtot int32 keys, and the
+    # permutation gather is a bandwidth-bound row gather)
+    keys, perm = jax.lax.sort_key_val(
+        slot_r.astype(jnp.int32),
+        jnp.arange(Rtot, dtype=jnp.int32))
+    audio2 = jnp.take(audio, perm, axis=0)
+    seg = jax.ops.segment_sum(
+        audio2, keys, num_segments=slots.shape[0],
+        indices_are_sorted=True)
+    return slots + seg.reshape(slots.shape)
 
+
+def _panmix_rows(osc, vol0, dvol, pan0, dpan, off, end, mode, fused):
+    """Reference panmix (panmix.c panmix_process12/process11) for the
+    table-less class-0 rows (noise/dc), whose audio is computed in
+    XLA rather than the pallas kernel: per-sample vol/pan ramps
+    (int64 folded through int32 so the fragment-frame-0 wrap carry
+    cancels), stereo positioning with the 2*vol clamp, and the
+    [OFF, END) validity window.  Returns int32 [P, 2*FRAG] (channel 0
+    sublanes 0..63, channel 1 64..127) matching the fused kernel's
+    row layout."""
     n = jnp.arange(FRAG, dtype=jnp.int64)[None, :]
     valid = (n >= off.astype(jnp.int64)[:, None]) \
         & (n < end[:, None])
     osc64 = osc.astype(jnp.int64)
-    if "nopanmix" in probe:             # perf diagnosis only
-        z64 = jnp.zeros_like(osc64)
-        audio = jnp.stack([jnp.where(valid, osc64, 0), z64],
-                          axis=1).astype(jnp.int32)
-        keys, perm = jax.lax.sort_key_val(
-            slot_r.astype(jnp.int32),
-            jnp.arange(Rtot, dtype=jnp.int32))
-        audio2 = jnp.take(audio.reshape(Rtot, 2 * FRAG), perm,
-                          axis=0)
-        seg = jax.ops.segment_sum(
-            audio2, keys, num_segments=slots.shape[0],
-            indices_are_sorted=True)
-        return slots + seg.reshape(slots.shape)
-    # the int64 ramp is folded back through int32 so the wrap carry
-    # introduced by the fragment-frame-0 normalization cancels: the
-    # engine's true (never-overflowing) i32 value is recovered at
-    # every valid sample
+    if not fused:                   # perf diagnosis only
+        ch0s = jnp.where(valid, osc64, 0)
+        ch1s = jnp.zeros_like(ch0s)
+        return jnp.concatenate(
+            [ch0s, ch1s], axis=1).astype(jnp.int32)
     vol = (vol0.astype(jnp.int64)[:, None]
            + n * dvol[:, None]) \
         .astype(jnp.int32).astype(jnp.int64)
@@ -1605,24 +1633,7 @@ def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
     ch1 = jnp.where(haspm & stereo, r_pm, jnp.zeros_like(osc64))
     ch0s = jnp.where(valid, ch0, 0)
     ch1s = jnp.where(valid, ch1, 0)
-    audio = jnp.stack([ch0s, ch1s], axis=1).astype(jnp.int32)
-    if "noscatter" in probe:        # perf diagnosis only
-        return slots.at[0].add(audio.sum(axis=0))
-    # rows stay in class/table order for the kernel, so slot ids
-    # can't be PRE-sorted — but an on-device key sort + row gather
-    # turns the accumulation into a sorted segment-sum, which the
-    # TPU backend lowers to a vectorized segmented reduce instead of
-    # a per-duplicate serializing scatter (measured ~3x on the slot
-    # volume; the sort itself is over Rtot int32 keys, and the
-    # permutation gather is a bandwidth-bound row gather)
-    keys, perm = jax.lax.sort_key_val(
-        slot_r.astype(jnp.int32),
-        jnp.arange(Rtot, dtype=jnp.int32))
-    audio2 = jnp.take(audio.reshape(Rtot, 2 * FRAG), perm, axis=0)
-    seg = jax.ops.segment_sum(
-        audio2, keys, num_segments=slots.shape[0],
-        indices_are_sorted=True)
-    return slots + seg.reshape(slots.shape)
+    return jnp.concatenate([ch0s, ch1s], axis=1).astype(jnp.int32)
 
 
 def _emit(slots, dst, ch_out, mask, add):
