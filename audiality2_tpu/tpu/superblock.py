@@ -1393,7 +1393,7 @@ def _ramp_scan(rmp, base):
 
 def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
                  rampmat, dead_slot, interpret, has_ramp=False,
-                 quality=0):
+                 quality=0, rowperm=None):
     """Expands oscillator runs into per-fragment kernel rows ON THE
     DEVICE, evaluates them with the pallas kernel and scatter-adds
     the panmixed audio into the slots.
@@ -1577,15 +1577,19 @@ def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
     if "noscatter" in probe:        # perf diagnosis only
         return slots.at[0].add(audio.sum(axis=0).reshape(2, FRAG))
     # rows stay in class/table order for the kernel, so slot ids
-    # can't be PRE-sorted — but an on-device key sort + row gather
-    # turns the accumulation into a sorted segment-sum, which the
-    # TPU backend lowers to a vectorized segmented reduce instead of
-    # a per-duplicate serializing scatter (measured ~3x on the slot
-    # volume; the sort itself is over Rtot int32 keys, and the
-    # permutation gather is a bandwidth-bound row gather)
-    keys, perm = jax.lax.sort_key_val(
-        slot_r.astype(jnp.int32),
-        jnp.arange(Rtot, dtype=jnp.int32))
+    # can't be PRE-sorted — the accumulation is a sorted segment-sum
+    # over a slot-order permutation of the rows.  The permutation is
+    # a pure function of the runmat the HOST built, so the production
+    # dispatch ships it precomputed in the blob (rowperm) and the
+    # chip never runs the O(Rtot log Rtot) key sort; the fallback
+    # on-device sort serves perm-less callers (the sharded dryrun).
+    if rowperm is not None:
+        perm = rowperm
+        keys = jnp.take(slot_r.astype(jnp.int32), perm)
+    else:
+        keys, perm = jax.lax.sort_key_val(
+            slot_r.astype(jnp.int32),
+            jnp.arange(Rtot, dtype=jnp.int32))
     audio2 = jnp.take(audio, perm, axis=0)
     seg = jax.ops.segment_sum(
         audio2, keys, num_segments=slots.shape[0],
@@ -2601,6 +2605,31 @@ def _threaded_get(dev, nchunks=8):
 _RB_CHUNKS = 8
 
 
+def _host_slot_perm(runmat, Rtot, dead_slot):
+    """Slot-order row permutation for _expand_rows' sorted
+    segment-sum, computed on the HOST from the same runmat the device
+    expands — the permutation is a pure function of the run layout,
+    so shipping it (~4 B/row) saves the chip the O(Rtot log Rtot)
+    key sort.  Mirrors _expand_rows' rid/alive/slot_r computation;
+    numpy's stable argsort on int keys is a radix sort, so the host
+    cost is O(Rtot) on the (overlapped) record thread."""
+    start = runmat[:, RC_START]
+    ln = runmat[:, RC_LEN]
+    mark = np.zeros(Rtot + 1, np.int32)
+    np.add.at(mark, np.clip(start, 0, Rtot).astype(np.intp),
+              (ln > 0).astype(np.int32))
+    rid = np.cumsum(mark[:Rtot], dtype=np.int32) - 1
+    gi = np.clip(rid, 0, None)
+    p = np.arange(Rtot, dtype=np.int32)
+    k = p - start[gi]
+    alive = (rid >= 0) & (k < ln[gi])
+    slot_r = np.where(alive, runmat[gi, RC_SLOT] + k,
+                      np.int32(dead_slot))
+    # tie order is free (int32-wrap adds commute), so the default
+    # introsort beats stable radix ~4x here
+    return np.argsort(slot_r).astype(np.int32)
+
+
 def _blob_layout(sig):
     """Static element layout of the one-blob dispatch upload: a map
     name -> (offset, shape) over a flat int32 array, derived from the
@@ -2613,6 +2642,11 @@ def _blob_layout(sig):
         ent.append((("tbase", i), (NB,)))
     if rpad:
         ent.append(("rm", (rpad, BASE_N)))
+        Rtot = sum(NB * OK.RPB for _, NB in rows_sig)
+        if Rtot:
+            # host-precomputed slot-order row permutation (saves the
+            # on-device O(Rtot log Rtot) sort in _expand_rows)
+            ent.append(("rowperm", (Rtot,)))
     if ramppad:
         ent.append(("rmp", (ramppad, RR_N)))
     if ns:
@@ -3123,14 +3157,16 @@ class DeviceMixer:
 
         def fn(atlas, tbase_devs, runmat, rampmat, stash_audio,
                stash_slot, stash_mono, stash_mono_slot, stage_arrs,
-               fbd_arrs, fbd_rings, fbd_pos, filt_arrs, filt_states):
+               fbd_arrs, fbd_rings, fbd_pos, filt_arrs, filt_states,
+               rowperm=None):
             nslot = ninst * F + 1
             slots = jnp.zeros((nslot, 2, FRAG), jnp.int32)
             if rpad and Rtot:
                 slots = _expand_rows(slots, atlas, rows_sig,
                                      tbase_devs, runmat, rampmat,
                                      ninst * F, interpret,
-                                     ramppad > 0, quality)
+                                     ramppad > 0, quality,
+                                     rowperm=rowperm)
             if ns:
                 # stash tables are build-time sorted by slot
                 seg = jax.ops.segment_sum(
@@ -3237,6 +3273,9 @@ class DeviceMixer:
                           for i in range(len(rows_sig))]
             runmat = take(blob, "rm") if rpad \
                 else jnp.zeros((0, BASE_N), jnp.int32)
+            Rtot_ = sum(NB * OK.RPB for _, NB in rows_sig)
+            rowperm = take(blob, "rowperm") if rpad and Rtot_ \
+                else None
             rampmat = take(blob, "rmp") if ramppad \
                 else jnp.zeros((0, RR_N), jnp.int32)
             stash_audio = take(blob, "sa") if ns else z
@@ -3283,7 +3322,8 @@ class DeviceMixer:
                 atlas, tbase_devs, runmat, rampmat,
                 stash_audio, stash_slot, stash_mono,
                 stash_mono_slot, stage_arrs, fbd_arrs,
-                fbd_rings, fbd_pos, filt_arrs, filt_states)
+                fbd_rings, fbd_pos, filt_arrs, filt_states,
+                rowperm=rowperm)
             # master returns pre-split into chunks: slicing INSIDE
             # the jit is free, while slicing the result eagerly costs
             # one relay-executed device program per chunk (~20-40 ms
@@ -3393,6 +3433,11 @@ class DeviceMixer:
             put(("tbase", i), tb)
         if prog.runmat is not None and prog.runmat.size:
             put("rm", prog.runmat)
+            Rtot_ = sum(NB * OK.RPB
+                        for _, NB, _ in prog.class_blocks)
+            if Rtot_:
+                put("rowperm", _host_slot_perm(
+                    prog.runmat, Rtot_, prog.ninst * prog.F))
         rmp = getattr(prog, "rampmat", None)
         if rmp is not None and rmp.size and prog.has_ramp:
             put("rmp", rmp)
