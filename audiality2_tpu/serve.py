@@ -291,6 +291,7 @@ def render_multiplexed(jobs, bufsize=None, readback="exact",
     # fetch per superblock) measures ~3x slower aggregate, and a
     # one-deep device window pays the relay's ~200-400 ms
     # completion-poll latency per superblock instead of per window.
+    import os
     import threading
     from collections import deque
     depth = max(batch, int(pipeline_depth))
@@ -299,8 +300,15 @@ def render_multiplexed(jobs, bufsize=None, readback="exact",
     disp = None              # running dispatch thread
     dres = [None, None, None]    # (group, handles, error)
     inflight = deque()       # (stream, handle) enqueued on device
-    fetcher = None           # running fetch thread
-    fres = [None, None, None]    # (stream, out, error)
+    # fetch POOL (the solo render()'s shape): the relay's completion
+    # poll costs hundreds of ms PER FETCH — one fetcher at a time
+    # serializes that per superblock and caps the fleet AGGREGATE the
+    # same way it capped solo steady; a few concurrent fetchers
+    # overlap the polls.  Per-stream emission order is preserved: the
+    # pool is FIFO over the (already stream-ordered) inflight queue
+    # and only the oldest entry is ever emitted.
+    FPOOL = min(int(os.environ.get("A2_FETCH_POOL", "3")), depth)
+    fpool = deque()          # (thread, [stream, out, error])
 
     def drop_inflight(s2):
         """Discard s2's pipeline slots (it bridged natively)."""
@@ -330,7 +338,7 @@ def render_multiplexed(jobs, bufsize=None, readback="exact",
         active = [s for s in streams
                   if not s.native and s.recorded < s.j.frames]
         if not active and rec_out is None and disp is None \
-                and not inflight and fetcher is None:
+                and not inflight and not fpool:
             break
         blocked = False      # did this iteration do blocking work
         if active and rec_out is None:
@@ -383,29 +391,30 @@ def render_multiplexed(jobs, bufsize=None, readback="exact",
                     dres[2] = e
             disp = threading.Thread(target=put)
             disp.start()
-        if fetcher is not None and (not fetcher.is_alive()
-                                    or len(inflight) >= depth
-                                    or not blocked):
-            fetcher.join()
-            fetcher = None
-            s2, out, err = fres
+        if fpool and (not fpool[0][0].is_alive()
+                      or len(inflight) + len(fpool) >= depth
+                      or not blocked):
+            th, slot = fpool.popleft()
+            th.join()
+            s2, out, err = slot
             if err is not None:
                 if not s2.native:
                     drop_inflight(s2)
                     s2.bridge(err)
             elif not s2.native:
                 s2.emit(out)
-        if fetcher is None and inflight:
+        while len(fpool) < FPOOL and inflight:
             s2, h = inflight.popleft()
+            slot = [s2, None, None]
 
-            def get(s2=s2, h=h):
-                fres[0], fres[1], fres[2] = s2, None, None
+            def get(h=h, slot=slot):
                 try:
-                    fres[1] = mixer.fetch(h)
+                    slot[1] = mixer.fetch(h)
                 except BaseException as e:
-                    fres[2] = e
-            fetcher = threading.Thread(target=get)
-            fetcher.start()
+                    slot[2] = e
+            th = threading.Thread(target=get)
+            th.start()
+            fpool.append((th, slot))
     for s in streams:
         s.finish()
     return jobs

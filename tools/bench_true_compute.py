@@ -177,6 +177,10 @@ def _assemble(mixer, prog, sig, layout, total):
         put(("tbase", i2), tb)
     if prog.runmat is not None and prog.runmat.size:
         put("rm", prog.runmat)
+        Rtot = sum(NB * SB.OK.RPB for _, NB, _ in prog.class_blocks)
+        if Rtot:
+            put("rowperm", SB._host_slot_perm(
+                prog.runmat, Rtot, prog.ninst * prog.F))
     rmp = getattr(prog, "rampmat", None)
     if rmp is not None and rmp.size and prog.has_ramp:
         put("rmp", rmp)
