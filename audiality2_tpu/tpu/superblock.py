@@ -268,6 +268,9 @@ def _probes():
                   NOT substitute it into the row fields (isolates
                   the replay's raw compute from its fusion coupling
                   with the downstream int64 row math)
+      nocls0      zero the whole table-less class-0 output (noise
+                  LCG replay, dc trajectories, their XLA panmix)
+      nocls0pm    keep class-0 audio, skip only its XLA panmix
       nostages    skip panmix/copy/ws stage items
       nofbd       skip fbdelay items
       nofilt      skip filter/fm items
@@ -1437,28 +1440,37 @@ def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
     k = p - g[:, RC_START]
     alive = (rid >= 0) & (k < g[:, RC_LEN])
     k64 = k.astype(jnp.int64)
+    kn = k << 6                      # int32: k*64 (k < 2^19)
     dph = g[:, RC_DPH]
+    # the ONLY per-row int64 the expansion keeps: the raw phase
+    # accumulate (one mul+add; bits above 32 are real).  Everything
+    # downstream runs in int32 lanes — in particular the loop wrap
+    # moves to int32 POSITION space: ph = pos*2^24 + frac with
+    # 0 <= frac < 2^24 and msz = size<<24, so
+    # ph mod msz == (pos mod size)*2^24 + frac exactly (floor-mod on
+    # both sides), and the int32 % is far cheaper than the emulated
+    # 64-bit division the VPU would otherwise run per row
     ph = ((g[:, RC_PHHI].astype(jnp.int64) << 32)
           | (g[:, RC_PHLO].astype(jnp.int64) & 0xFFFFFFFF)) \
         + k64 * (dph.astype(jnp.int64) << 6)
     # noise rows carry the RNG state in RC_SIZE — never phase-wrap
     noisef = (g[:, RC_MODE] & _ROW_NOISE) != 0
-    msz = jnp.where(noisef, 0,
-                    g[:, RC_SIZE].astype(jnp.int64) << 24)
-    wrap = (msz > 0) & (k > 0)
-    mdiv = jnp.where(wrap, msz, 1)
-    ph = jnp.where(wrap, ph % mdiv, ph)
-    n64k = k64 << 6
-    amp = (g[:, RC_AMP0].astype(jnp.int64)
-           + n64k * g[:, RC_DAMP]).astype(jnp.int32)
+    sz = jnp.where(noisef, 0, g[:, RC_SIZE])
+    wrap = (sz > 0) & (k > 0)
+    pos32 = (ph >> 24).astype(jnp.int32)
+    f32 = (ph & 0xFFFFFF).astype(jnp.int32)
+    pos32 = jnp.where(wrap,
+                      pos32 % jnp.where(sz > 0, sz, 1), pos32)
+    # int32-wrap per-row bases: congruent mod 2^32 with the int64
+    # forms, and the per-sample recurrences (kernel and reference
+    # alike) wrap at 32 bits anyway
+    amp = g[:, RC_AMP0] + kn * g[:, RC_DAMP]
     damp = g[:, RC_DAMP]
-    dph64 = dph.astype(jnp.int64)
-    vol0 = (g[:, RC_VOL0].astype(jnp.int64)
-            + n64k * g[:, RC_DVOL]).astype(jnp.int32)
-    pan0 = (g[:, RC_PAN0].astype(jnp.int64)
-            + n64k * g[:, RC_DPAN]).astype(jnp.int32)
-    dvol = g[:, RC_DVOL].astype(jnp.int64)
-    dpan = g[:, RC_DPAN].astype(jnp.int64)
+    dph32 = dph
+    vol0 = g[:, RC_VOL0] + kn * g[:, RC_DVOL]
+    pan0 = g[:, RC_PAN0] + kn * g[:, RC_DPAN]
+    dvol = g[:, RC_DVOL]
+    dpan = g[:, RC_DPAN]
     if has_ramp and "noramp" in probe:
         has_ramp = False
     if has_ramp:
@@ -1470,54 +1482,56 @@ def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
             * NrR + jnp.clip(ridx, 0, None).astype(jnp.int64)
         tg = jnp.take(traj.reshape(-1, traj.shape[-1]), fidx,
                       axis=0)                        # [Rtot, 10] i32
-        t64 = tg.astype(jnp.int64)
         use = (ridx >= 0) & (k >= 1) & alive
         if "trajonly" in probe:         # perf diagnosis only
             # force the replay's compute but keep the fields linear:
             # a data-dependent comparison XLA cannot constant-fold
             # keeps tg live while (in practice) adding 0
-            sent = jnp.int64(-(1 << 62) + 12345)
+            sent = jnp.int32(-(1 << 30) + 12345)
             amp = amp + jnp.where(
-                t64.sum(axis=1) == sent, 1, 0).astype(amp.dtype)
+                tg.sum(axis=1) == sent, 1, 0).astype(amp.dtype)
             use = jnp.zeros_like(alive)
             has_ramp = False
         amp = jnp.where(use, tg[:, 0], amp)
         damp = jnp.where(use, tg[:, 1], damp)
         vol0 = jnp.where(use, tg[:, 2], vol0)
-        dvol = jnp.where(use, t64[:, 3], dvol)
+        dvol = jnp.where(use, tg[:, 3], dvol)
         pan0 = jnp.where(use, tg[:, 4], pan0)
-        dpan = jnp.where(use, t64[:, 5], dpan)
-        dph64 = jnp.where(use, t64[:, 6], dph64)
-        ph = jnp.where(use,
-                       (t64[:, 7] << 32) | (t64[:, 8] & 0xFFFFFFFF),
-                       ph)
+        dpan = jnp.where(use, tg[:, 5], dpan)
+        dph32 = jnp.where(use, tg[:, 6], dph32)
+        # traj phase is already wrapped by the scan; assemble its
+        # (pos, frac24) split straight from the int32 hi/lo words
+        pos32 = jnp.where(
+            use,
+            (tg[:, 7] << 8)
+            | jax.lax.shift_right_logical(tg[:, 8],
+                                          jnp.int32(24)), pos32)
+        f32 = jnp.where(use, tg[:, 8] & 0xFFFFFF, f32)
         # materialize the substituted per-row vectors ONCE: without
         # the barrier XLA duplicates the trajectory gather into every
-        # downstream fused consumer (the [Rtot, FRAG] vol/pan ramps,
-        # kernel param packing, noise inputs), re-evaluating it per
-        # consumer — measured ~22 ms of a k2trance superblock's
-        # 80 ms (trajonly probe)
-        (amp, damp, vol0, dvol, pan0, dpan, dph64, ph) = \
+        # downstream fused consumer (kernel param packing, noise
+        # inputs), re-evaluating it per consumer — measured ~22 ms of
+        # a k2trance superblock's 80 ms (trajonly probe, round 4
+        # pre-fusion)
+        (amp, damp, vol0, dvol, pan0, dpan, dph32, pos32, f32) = \
             jax.lax.optimization_barrier(
-                (amp, damp, vol0, dvol, pan0, dpan, dph64, ph))
+                (amp, damp, vol0, dvol, pan0, dpan, dph32, pos32,
+                 f32))
     else:
         use = jnp.zeros_like(alive)
     # noise draws consumed before this row's fragment (RAMP rows get
     # the scan-accumulated count; LINEAR rows are closed-form below)
-    cnt0 = jnp.where(use, t64[:, 9], 0) if has_ramp \
+    cnt0 = jnp.where(use, tg[:, 9].astype(jnp.int64), 0) if has_ramp \
         else jnp.zeros_like(k64)
     az = alive.astype(jnp.int32)
-    pos = ((ph >> 24).astype(jnp.int32) + g[:, RC_POSOFF]) * az
-    f = (ph & 0xFFFFFF).astype(jnp.int32) * az
+    pos = (pos32 + g[:, RC_POSOFF]) * az
+    f = f32 * az
     amp = amp * az
     damp = damp * az
-    dph32 = dph64.astype(jnp.int32)
     zeros = jnp.zeros_like(pos)
 
     off = jnp.where(k == 0, g[:, RC_OFF], 0)
-    end = jnp.clip(g[:, RC_OFF].astype(jnp.int64)
-                   + g[:, RC_TOTAL].astype(jnp.int64)
-                   - (k64 << 6), 0, FRAG)
+    end = jnp.clip(g[:, RC_OFF] + g[:, RC_TOTAL] - kn, 0, FRAG)
     end = jnp.where(alive, end, 0)
     slot_r = jnp.where(alive, g[:, RC_SLOT] + k, dead_slot)
     mode = g[:, RC_MODE]
@@ -1527,8 +1541,7 @@ def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
     # are congruent mod 2^32 and the kernel's int32-wrap evaluation
     # reproduces the engine's true (never-overflowing) i32 values
     fields = [pos, f, (dph32 >> 24) * az, (dph32 & 0xFFFFFF) * az,
-              amp, damp, vol0, dvol.astype(jnp.int32), pan0,
-              dpan.astype(jnp.int32), off, end.astype(jnp.int32),
+              amp, damp, vol0, dvol, pan0, dpan, off, end,
               mode, zeros, zeros, zeros]
 
     outs = []
@@ -1540,18 +1553,38 @@ def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
         sl = slice(b0, b0 + P)
         if cls == 0:
             # table-less class: S&H LCG noise replay, or a dc row
-            # (dc.c LINEAR), whose output IS the amp trajectory
+            # (dc.c LINEAR), whose output IS the amp trajectory.
+            # The int64 phase is reassembled HERE, on the class-0
+            # slice only (noise rows never wrap, so the linear ph is
+            # exact; ramp rows take the scan's wrapped hi/lo words)
+            ph_sl = ph[sl]
+            use_sl = use[sl]
+            if has_ramp:
+                ph_sl = jnp.where(
+                    use_sl,
+                    (tg[sl, 7].astype(jnp.int64) << 32)
+                    | (tg[sl, 8].astype(jnp.int64) & 0xFFFFFFFF),
+                    ph_sl)
+            if "nocls0" in probe:       # perf diagnosis only
+                outs.append(jnp.zeros((P, 2 * FRAG), jnp.int32))
+                b0 += P
+                continue
             res = _noise_audio(
-                g[sl, RC_SIZE], g[sl, RC_POSOFF], ph[sl],
-                dph64[sl] & 0xFFFFFFFF,
+                g[sl, RC_SIZE], g[sl, RC_POSOFF], ph_sl,
+                dph32[sl].astype(jnp.int64) & 0xFFFFFFFF,
                 off[sl].astype(jnp.int64),
                 g[sl, RC_OFF].astype(jnp.int64), k64[sl],
-                use[sl], cnt0[sl], amp[sl], damp[sl])
+                use_sl, cnt0[sl], amp[sl], damp[sl])
             dcf = ((g[sl, RC_MODE] & _ROW_DC) != 0)[:, None]
             nn_ = jnp.arange(FRAG, dtype=jnp.int64)[None, :]
             dcres = _w32(amp[sl].astype(jnp.int64)[:, None]
                          + nn_ * damp[sl].astype(jnp.int64)[:, None])
             res = jnp.where(dcf, dcres.astype(res.dtype), res)
+            if "nocls0pm" in probe:     # perf diagnosis only
+                outs.append(jnp.concatenate(
+                    [res, jnp.zeros_like(res)], axis=1))
+                b0 += P
+                continue
             outs.append(_panmix_rows(
                 res, vol0[sl], dvol[sl], pan0[sl], dpan[sl],
                 off[sl], end[sl], mode[sl], fused))   # (P, 2*64)
@@ -1607,8 +1640,10 @@ def _panmix_rows(osc, vol0, dvol, pan0, dpan, off, end, mode, fused):
     sublanes 0..63, channel 1 64..127) matching the fused kernel's
     row layout."""
     n = jnp.arange(FRAG, dtype=jnp.int64)[None, :]
+    dvol = dvol.astype(jnp.int64)
+    dpan = dpan.astype(jnp.int64)
     valid = (n >= off.astype(jnp.int64)[:, None]) \
-        & (n < end[:, None])
+        & (n < end.astype(jnp.int64)[:, None])
     osc64 = osc.astype(jnp.int64)
     if not fused:                   # perf diagnosis only
         ch0s = jnp.where(valid, osc64, 0)
