@@ -318,21 +318,54 @@ def render_multiplexed(jobs, bufsize=None, readback="exact",
         for ent in [e for e in inflight if e[0] is s2]:
             inflight.remove(ent)
 
-    def record_one(s):
-        """Records s's next superblock; returns prog or None (the
-        stream bridged)."""
+    def record_raw(s, slot):
+        """Records s's next superblock into slot = [prog, error].
+        Thread-safe: touches only s's own native engine and builds a
+        fresh program (the native a2rt_record call releases the GIL,
+        so a group's streams record in parallel on a multi-core
+        host); bridging/bookkeeping stays on the main thread."""
         try:
             rows, stages, stash, nfrag = s.r.nr.record(bufsize)
             prog = program_from_native(
                 rows, stages, stash, nfrag, [64] * nfrag,
                 s.r.atlas_entry, s.r.master_channels)
             s.r._tag_prog(prog)
+            slot[0] = prog
         except BaseException as e:
-            drop_inflight(s)
-            s.bridge(e)
-            return None
-        s.recorded += bufsize
-        return prog
+            slot[1] = e
+
+    # record-pool width: the host record pass is per-stream
+    # independent (each stream owns its native engine state), so a
+    # group's records run concurrently — the aggregate record
+    # ceiling scales with host cores instead of pinning at one
+    # core's ~200x.  Width 1 (the only useful width on a 1-core
+    # host) keeps the exact serial path.
+    RPOOL = int(os.environ.get("A2_RECORD_POOL",
+                               str(os.cpu_count() or 1)))
+
+    def record_group(live):
+        """Records every live stream's next superblock; returns the
+        [(stream, prog), ...] that succeeded, bridging failures."""
+        slots = [[None, None] for _ in live]
+        if RPOOL > 1 and len(live) > 1:
+            ths = [threading.Thread(target=record_raw, args=(s, sl))
+                   for s, sl in zip(live, slots)]
+            for t in ths:
+                t.start()
+            for t in ths:
+                t.join()
+        else:
+            for s, sl in zip(live, slots):
+                record_raw(s, sl)
+        recs = []
+        for s, (prog, err) in zip(live, slots):
+            if err is not None:
+                drop_inflight(s)
+                s.bridge(err)
+            else:
+                s.recorded += bufsize
+                recs.append((s, prog))
+        return recs
 
     while True:
         active = [s for s in streams
@@ -351,11 +384,7 @@ def render_multiplexed(jobs, bufsize=None, readback="exact",
                 live = [s for s in g if s in active]
                 if live:
                     break
-            recs = []
-            for s in live:
-                prog = record_one(s)
-                if prog is not None:
-                    recs.append((s, prog))
+            recs = record_group(live)
             if recs:
                 rec_out = recs
                 blocked = True

@@ -7,10 +7,12 @@ and bound the kernel at ~15M voice-samples/s.  This kernel instead
 uses the hardware's per-sublane 128-lane shuffle (Mosaic lowers
 ``jnp.take_along_axis(src, idx, axis=1)`` to it) and a split-index
 scheme: a wavetable of S entries is covered by ceil(S/128) "passes",
-each pass shuffling one 128-wide atlas row into place.  Measured:
-~1.6G lookups/s, 350M exact voice-samples/s at the worst-case pass
-count (mip-0 2048-entry tables); typical musical content selects
-mips 2..5 (1-4 passes) and runs faster.
+each pass shuffling one 128-wide atlas row into place.  Driver-
+captured rate (BENCH_r03, 4-lookup hifi, worst-case mip-0 pass
+count): 238-246M exact voice-samples/s; in-session bests have
+reached ~350M in fair relay weather, and typical musical content
+selects mips 2..5 (1-4 passes) and runs faster.  hermite2's shared
+window cuts hifi to 3 lookups/sample (~4/3x on the shuffle bound).
 
 Exactness: all arithmetic is int32 with x86 wrap semantics, matching
 the native runtime (native/a2rt_units.inc hermite) which is bit-exact
@@ -158,16 +160,8 @@ def _make_kernel(npass, interpret=False, quality=0, fused_pm=True):
                     acc = jnp.where(hi == r, g, acc)
                 return acc
 
-        def hermite(ph):
+        def hermite_poly(dm1, d0, d1, d2, x):
             # a2_Hermite (a2_dsp.h:64-74), int32 wrap products
-            i = ph >> 8
-            x = (ph & 0xFF) << 7
-            pa = lookup_pair(i - 1)             # (d[i-1], d[i])
-            pb = lookup_pair(i + 1)             # (d[i+1], d[i+2])
-            dm1 = (pa << 16) >> 16
-            d0 = pa >> 16
-            d1 = (pb << 16) >> 16
-            d2 = pb >> 16
             c = (d1 - dm1) >> 1
             a = (3 * (d0 - d1) + d2 - dm1) >> 1
             b = dm1 - d0 + c - a
@@ -175,10 +169,42 @@ def _make_kernel(npass, interpret=False, quality=0, fused_pm=True):
             a = ((a + b) * x) >> 15
             return d0 + (((a + c) * x) >> 15)
 
+        def hermite2(ph, dhalf):
+            # both HIFI 2x-oversampled Hermite taps (wtosc.c:216:
+            # sample at ph and at ph + dph/2) from THREE pair lookups
+            # instead of four: dph16 <= A2_MAXPHINC (the record pass
+            # only emits rows with dph <= MAXPHINC<<16,
+            # a2rt_record.inc:603), so the second tap's base index i2
+            # advances by at most 1 and its window d[i2-1..i2+2] sits
+            # inside d[i-1..i+3] — covered by pairs at i-1, i+1, i+3.
+            # pc's high half d[i+4] is never used (and never read
+            # out of bounds: the split-index lookup selects only
+            # within the block's npass rows).
+            i = ph >> 8
+            x1 = (ph & 0xFF) << 7
+            ph2 = ph + dhalf
+            i2 = ph2 >> 8
+            x2 = (ph2 & 0xFF) << 7
+            pa = lookup_pair(i - 1)             # (d[i-1], d[i])
+            pb = lookup_pair(i + 1)             # (d[i+1], d[i+2])
+            pc = lookup_pair(i + 3)             # (d[i+3], .)
+            dm1 = (pa << 16) >> 16
+            d0 = pa >> 16
+            d1 = (pb << 16) >> 16
+            d2 = pb >> 16
+            d3 = (pc << 16) >> 16
+            v1 = hermite_poly(dm1, d0, d1, d2, x1)
+            adv = i2 != i                       # 0 or 1 by the cap
+            em1 = jnp.where(adv, d0, dm1)
+            e0 = jnp.where(adv, d1, d0)
+            e1 = jnp.where(adv, d2, d1)
+            e2 = jnp.where(adv, d3, d2)
+            return v1 + hermite_poly(em1, e0, e1, e2, x2)
+
         def lerp16(ph):
             # a2_Lerp16 (a2_dsp.h:58-61): one pair lookup per sample
             # (the pair packs both interpolation endpoints), so the
-            # lofi kernel runs ~4x fewer lane shuffles than hermite
+            # lofi kernel runs ~3x fewer lane shuffles than hermite
             i = ph >> 8
             x = ph & 0xFF
             pa = lookup_pair(i)                 # (d[i], d[i+1])
@@ -190,7 +216,7 @@ def _make_kernel(npass, interpret=False, quality=0, fused_pm=True):
         # 2x-oversampled Hermite, 1 = default 2x lerp, 2 = A2_LOFI
         # single lerp doubled
         if quality == 0:
-            v = hermite(ph16) + hermite(ph16 + (dph16 >> 1))
+            v = hermite2(ph16, dph16 >> 1)
         elif quality == 1:
             v = lerp16(ph16) + lerp16(ph16 + (dph16 >> 1))
         else:
@@ -251,8 +277,9 @@ def _osc_call(npass, tbase, params, atlas_pairs, interpret=False,
     the default (CPU) test suite so the device code path is exercised
     on every pytest run.  quality selects the interpolator
     (0 hifi / 1 normal / 2 lofi, reference wtosc.c:27-46); lofi costs
-    one pair lookup per sample instead of hifi's four, lifting the
-    gather-bound kernel ceiling ~4x."""
+    one pair lookup per sample instead of hifi's three (hermite2's
+    shared-window scheme), lifting the gather-bound kernel ceiling
+    ~3x."""
     NB = params.shape[0] // NPARAM
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -224,3 +224,24 @@ def test_render_multiplexed_soak():
         gold = np.fromfile(f"{GOLD}/{song}-5s-44100.raw", np.int32)
         m = j.frames - j.frames % 4096
         assert (j.output[0][:m] == gold[:m]).all(), song
+
+
+def test_render_multiplexed_record_pool_bit_exact(monkeypatch):
+    """Thread-parallel group record (A2_RECORD_POOL > 1): each
+    stream's record runs on its own thread (the native a2rt_record
+    call releases the GIL — on a multi-core host the aggregate
+    record ceiling scales with cores instead of pinning at one
+    core's rate).  Bit-exactness and bridging bookkeeping must be
+    unchanged vs the serial path."""
+    from audiality2_tpu.serve import render_multiplexed
+    monkeypatch.setenv("A2_RECORD_POOL", "4")
+    songs = ["k2trance", "dctest", "fmtest3", "k2loader"]
+    jobs = [_job(s, 1.0) for s in songs]
+    render_multiplexed(jobs, bufsize=31 * 64, interpret=True,
+                       batch=2)
+    for song, j in zip(songs, jobs):
+        assert j.error is None
+        assert not j.renderer.fell_back, song
+        gold = np.fromfile(f"{GOLD}/{song}-5s-44100.raw", np.int32)
+        m = j.frames - j.frames % 4096
+        assert (j.output[0][:m] == gold[:m]).all(), song
