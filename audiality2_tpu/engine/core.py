@@ -1222,7 +1222,7 @@ class Core:
         the numpy twin).  P3 (replay): apply writes / row audio / host
         effects in the exact recorded order and fill the output.
 
-        The phases are split so a Farm (farm.py) can merge the row
+        The phases are split so a multi-engine scheduler can merge the row
         batches of many engine instances into one device dispatch.
         """
         frags, oplists, rowbatch = self.record_superblock(frames)

@@ -44,6 +44,8 @@ class DeviceRenderer:
     _warm_lock = _threading.Lock()
     _warm_thread = None
     _warm_done = _threading.Event()
+    _warm_t0 = None        # perf_counter at warmup start
+    _warm_elapsed = None   # actual warmup duration (s), once done
 
     @classmethod
     def _ensure_warm(cls):
@@ -52,6 +54,8 @@ class DeviceRenderer:
                 return
             import threading
             import atexit
+            import time as _time
+            cls._warm_t0 = _time.perf_counter()
             # tearing the process down while the compile thread is
             # inside the PJRT client aborts (C++ exception in a dying
             # thread); wait for it at exit — bounded, so a hung remote
@@ -71,6 +75,9 @@ class DeviceRenderer:
                 except BaseException:
                     pass       # device unusable -> renders stay native
                 finally:
+                    import time as _time
+                    cls._warm_elapsed = (_time.perf_counter()
+                                         - cls._warm_t0)
                     cls._warm_done.set()
             cls._warm_thread = threading.Thread(target=go, daemon=True)
             cls._warm_thread.start()
@@ -213,12 +220,18 @@ class DeviceRenderer:
 
     def atlas_entry(self, handle, mip):
         key = (self._ns, handle) if self._shared else handle
-        if key not in self._atlas_handles:
-            hi = self.i.state.ss.hm.get(handle)
-            self._pair_atlas.add_wave(key, hi.data)
-            self._atlas_handles.add(key)
-            self._pair_atlas.finalize()
-        return self._pair_atlas.lookup(key, mip)
+        # the atlas may be fleet-shared (serve.render_multiplexed)
+        # and reached from concurrent record threads; hold its lock
+        # across the whole add-if-missing so two streams can't race
+        # the tbase assignment (reentrant, so the nested add_wave/
+        # finalize/lookup acquisitions are free)
+        with self._pair_atlas.lock:
+            if key not in self._atlas_handles:
+                hi = self.i.state.ss.hm.get(handle)
+                self._pair_atlas.add_wave(key, hi.data)
+                self._atlas_handles.add(key)
+                self._pair_atlas.finalize()
+            return self._pair_atlas.lookup(key, mip)
 
     # ---- rendering ----
 

@@ -15,10 +15,10 @@ relay-facing work is serialized by default with a shared transfer
 lock — device compute still overlaps every stream's host record.
 On a locally-attached TPU, pass serialize_transfers=False.
 
-This is the round-2 replacement for the row-level farm
-(audiality2_tpu.farm), which merged row batches of Python batched
-engines into one dispatch; the serving path instead gives each
-stream the full native-record -> superblock-mixer pipeline.
+This replaced the round-1 row-level voice farm (which merged row
+batches of Python batched engines into one dispatch); the serving
+path instead gives each stream the full native-record -> superblock-
+mixer pipeline.
 """
 
 import threading
@@ -320,10 +320,12 @@ def render_multiplexed(jobs, bufsize=None, readback="exact",
 
     def record_raw(s, slot):
         """Records s's next superblock into slot = [prog, error].
-        Thread-safe: touches only s's own native engine and builds a
-        fresh program (the native a2rt_record call releases the GIL,
-        so a group's streams record in parallel on a multi-core
-        host); bridging/bookkeeping stays on the main thread."""
+        Thread-safe: the native engine state it touches is all
+        per-State (pending-event map and rec_stats are State members)
+        and the fleet-shared PairAtlas is mutated under its lock
+        (atlas_entry); the a2rt_record call releases the GIL, so a
+        group's streams record in parallel on a multi-core host.
+        Bridging/bookkeeping stays on the main thread."""
         try:
             rows, stages, stash, nfrag = s.r.nr.record(bufsize)
             prog = program_from_native(
@@ -335,20 +337,33 @@ def render_multiplexed(jobs, bufsize=None, readback="exact",
             slot[1] = e
 
     # record-pool width: the host record pass is per-stream
-    # independent (each stream owns its native engine state), so a
-    # group's records run concurrently — the aggregate record
-    # ceiling scales with host cores instead of pinning at one
-    # core's ~200x.  Width 1 (the only useful width on a 1-core
-    # host) keeps the exact serial path.
-    RPOOL = int(os.environ.get("A2_RECORD_POOL",
-                               str(os.cpu_count() or 1)))
+    # independent (each stream owns its native engine state — the
+    # pending-event map and rec_stats are State members, and the
+    # shared PairAtlas is locked), so a group's records run
+    # concurrently — the aggregate record ceiling scales with host
+    # cores instead of pinning at one core's ~200x.  The width is a
+    # real bound: at most RPOOL records run at once (a semaphore,
+    # not one-thread-per-stream), so A2_RECORD_POOL=2 on a loaded
+    # host means 2.  Width 1 keeps the exact serial path.
+    try:
+        RPOOL = int(os.environ.get("A2_RECORD_POOL",
+                                   str(os.cpu_count() or 1)))
+    except ValueError:
+        RPOOL = os.cpu_count() or 1
+    RPOOL = max(1, RPOOL)
+    rec_sem = threading.Semaphore(RPOOL)
+
+    def record_bounded(s, sl):
+        with rec_sem:
+            record_raw(s, sl)
 
     def record_group(live):
         """Records every live stream's next superblock; returns the
         [(stream, prog), ...] that succeeded, bridging failures."""
         slots = [[None, None] for _ in live]
         if RPOOL > 1 and len(live) > 1:
-            ths = [threading.Thread(target=record_raw, args=(s, sl))
+            ths = [threading.Thread(target=record_bounded,
+                                    args=(s, sl))
                    for s, sl in zip(live, slots)]
             for t in ths:
                 t.start()

@@ -315,46 +315,57 @@ class PairAtlas:
     relative) to form the kernel's pair index."""
 
     def __init__(self):
+        import threading
         self._rows = []          # list of (128,) int32 rows
         self._index = {}         # (wave_key, mip) -> (tbase, npass, off)
         self.data = None         # jnp (T, 128) after finalize
         self.np_pairs = None     # numpy flat pairs (for the twin)
         self.version = 0
+        # fleet-shared atlases (serve.render_multiplexed) are mutated
+        # from worker record threads when a stream's first superblock
+        # meets an unseen wave; add_wave's tbase=len(_rows) read and
+        # the extend are a check-then-act that must not interleave.
+        # Reentrant so callers can hold it across their own
+        # check-then-act (device_render.atlas_entry).
+        self.lock = threading.RLock()
 
     def add_wave(self, key, wave):
-        for mm in range(wave.miplevels):
-            d = np.asarray(wave.data[mm], dtype=np.int32)
-            # pairs P[k] = (d16[k+1]<<16) | u16(d16[k]); one extra 0
-            # beyond the padded data is never read (lookups stay
-            # within PRE+size+POST-1)
-            lo = d & 0xFFFF
-            hi = np.empty_like(d)
-            hi[:-1] = d[1:]
-            hi[-1] = 0
-            pairs = (hi << 16) | lo
-            npad = (-len(pairs)) % 128
-            if npad:
-                pairs = np.concatenate(
-                    [pairs, np.zeros(npad, np.int32)])
-            tbase = len(self._rows)
-            self._rows.extend(pairs.reshape(-1, 128))
-            npass = len(pairs) // 128
-            # oscillator positions are relative to data[0] = index
-            # A2_WAVEPRE within the padded block
-            self._index[(key, mm)] = (tbase, npass, A2_WAVEPRE)
+        with self.lock:
+            for mm in range(wave.miplevels):
+                d = np.asarray(wave.data[mm], dtype=np.int32)
+                # pairs P[k] = (d16[k+1]<<16) | u16(d16[k]); one
+                # extra 0 beyond the padded data is never read
+                # (lookups stay within PRE+size+POST-1)
+                lo = d & 0xFFFF
+                hi = np.empty_like(d)
+                hi[:-1] = d[1:]
+                hi[-1] = 0
+                pairs = (hi << 16) | lo
+                npad = (-len(pairs)) % 128
+                if npad:
+                    pairs = np.concatenate(
+                        [pairs, np.zeros(npad, np.int32)])
+                tbase = len(self._rows)
+                self._rows.extend(pairs.reshape(-1, 128))
+                npass = len(pairs) // 128
+                # oscillator positions are relative to data[0] =
+                # index A2_WAVEPRE within the padded block
+                self._index[(key, mm)] = (tbase, npass, A2_WAVEPRE)
 
     def finalize(self):
-        if self._rows:
-            arr = np.stack(self._rows)
-        else:
-            arr = np.zeros((1, 128), dtype=np.int32)
-        self.np_pairs = arr.reshape(-1)
-        self.data = arr
-        self.version += 1
-        return self.data
+        with self.lock:
+            if self._rows:
+                arr = np.stack(self._rows)
+            else:
+                arr = np.zeros((1, 128), dtype=np.int32)
+            self.np_pairs = arr.reshape(-1)
+            self.data = arr
+            self.version += 1
+            return self.data
 
     def lookup(self, key, mip):
-        return self._index[(key, mip)]
+        with self.lock:
+            return self._index[(key, mip)]
 
 
 def pass_class(npass):

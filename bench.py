@@ -84,10 +84,12 @@ def bench_device_path(seconds=192.0, samplerate=44100):
         # deployment's relay, high variance; <1 s on a locally-attached
         # TPU) runs on a background thread — production renders bridge through the
         # native path meanwhile; here we wait so the measured numbers
-        # are the device path's own
-        t0 = _t.perf_counter()
+        # are the device path's own.  warm_s is the ACTUAL elapsed
+        # warmup (None while it is still pending), never the timeout
+        # constant — BENCH_r04 recorded "900.0" for what was a
+        # timeout, not a measurement.
         warmed = r.wait_device(timeout=900)
-        warm_s = _t.perf_counter() - t0
+        warm_s = DeviceRenderer._warm_elapsed
         r.timestamp_reset()
         r.start(0, song)
         # ~12 s superblocks: the steady chain is per-superblock
@@ -107,6 +109,10 @@ def bench_device_path(seconds=192.0, samplerate=44100):
         bridged = r.bridged_frames
         r.close()
         if r.fell_back or not warmed or bridged or len(marks) < 8:
+            print("# device path attempt invalid: fell_back=%s "
+                  "warmed=%s bridged=%d marks=%d"
+                  % (r.fell_back, warmed, bridged, len(marks)),
+                  file=sys.stderr)
             return None, None, warm_s
         # steady = frames/wall over the middle half of the emission
         # timeline — robust to the BURSTY completion pattern of
@@ -198,19 +204,25 @@ def bench_serving(K=4, seconds=96.0, samplerate=44100):
                            batch=K, pipeline_depth=2 * K)
         if any(j.error is not None for j in jobs) or not events:
             return None
+        # fallback-proofing: a stream that bridged mid-flight renders
+        # on the host CPU, so counting its frames would inflate the
+        # "TPU aggregate" with CPU throughput — the metric is NULLED
+        # when any stream fell back or bridged any frames, rather
+        # than reported with a stderr footnote the artifact can't see
         fell = sum(bool(j.renderer.fell_back) for j in jobs)
-        bridged = 0
+        bridged = sum(int(getattr(j.renderer, "bridged_frames", 0))
+                      for j in jobs)
+        if fell or bridged:
+            print("# serving attempt invalid: %d fallbacks, %d "
+                  "bridged frames" % (fell, bridged), file=sys.stderr)
+            return None
         t0 = min(t for t, _ in events)
         t1 = max(t for t, _ in events)
         if t1 - t0 < 1.0:
             return None
         mid = t0 + (t1 - t0) * 0.5
         fr = sum(n for t, n in events if t >= mid)
-        agg = (fr / samplerate) / (t1 - mid)
-        if fell or bridged:
-            print("# serving: %d fallbacks, %d bridged frames"
-                  % (fell, bridged), file=sys.stderr)
-        return agg
+        return (fr / samplerate) / (t1 - mid)
     except Exception as e:
         print(f"# serving bench failed: {e}", file=sys.stderr)
         return None
@@ -325,6 +337,24 @@ def main():
         dev_total, dev_steady, warm_s = bench_device_path()
         first_song = bench_first_song()
         serving = bench_serving()
+        # the steady number is the round's headline device metric and
+        # must be structurally incapable of getting lost to bench
+        # ordering (BENCH_r04: the first attempt ate the full warmup
+        # timeout while the NEXT bench in the same process warmed
+        # fine and rendered).  If any earlier device bench ran — the
+        # process is warm by now — re-attempt with a shorter render
+        # until a valid attempt lands (bounded retries).
+        for attempt in range(2):
+            if dev_steady is not None:
+                break
+            print("# retrying device-path steady (attempt %d, "
+                  "process warm)" % (attempt + 2), file=sys.stderr)
+            dev_total, dev_steady, w2 = bench_device_path(
+                seconds=96.0)
+            warm_s = warm_s if warm_s is not None else w2
+        if serving is None:
+            print("# retrying serving bench", file=sys.stderr)
+            serving = bench_serving(seconds=48.0)
         osc = bench_osc_kernel()
         osc_lofi = bench_osc_kernel(quality=2)
     else:
@@ -343,8 +373,14 @@ def main():
     if dev_total is not None:
         result["tpu_device_path_xrt"] = round(dev_total, 2)
         result["tpu_device_path_steady_xrt"] = round(dev_steady, 2)
+    elif tpu_up:
+        # the absence of the steady field is itself a finding —
+        # record it explicitly instead of silently dropping it
+        result["tpu_device_path_steady_xrt"] = None
     if warm_s is not None:
         result["tpu_kernel_warmup_s"] = round(warm_s, 1)
+    elif tpu_up:
+        result["tpu_kernel_warmup_timed_out"] = True
     if first_song is not None:
         result["tpu_first_song_xrt"] = round(first_song, 2)
     if serving is not None:

@@ -25,6 +25,7 @@
 #include <cmath>
 #include <algorithm>
 #include <vector>
+#include <map>
 #include <unordered_map>
 #include <unordered_set>
 
@@ -426,6 +427,17 @@ struct State {
     Voice *rootvoice;
     std::unordered_map<int, Voice*> vhandles;  /* API voice handles */
     int next_vhandle;
+    /* pending event queues for not-yet-started API voices.
+       Per-State (NOT process-global): serve.py's record pool runs
+       a2rt_record on several States concurrently with the GIL
+       released, and the API-message pump inserts here while
+       event_start erases — a shared map would be unsynchronized
+       UB across streams. */
+    std::map<int, Event*> pending;
+    /* run-compression diagnostics (a2rt_record.inc rec_commit);
+       per-State so concurrent records don't tear each other's
+       counters. Read via a2rt_rec_stats(st, out). */
+    i64 rec_stats[16];
 
     /* record mode (a2rt_record.inc) */
     int recording;
@@ -463,6 +475,7 @@ struct State {
               rec(nullptr), unit_serial(1) {
         memset(scratch, 0, sizeof(scratch));
         memset(busmeta, 0, sizeof(busmeta));
+        memset(rec_stats, 0, sizeof(rec_stats));
     }
 
     Event *alloc_event() {
@@ -859,6 +872,6 @@ extern "C" int a2rt_dump_voices(State *st, i32 *out, int max) {
     return dump_voice(st, st->rootvoice, out, 0, max, 0);
 }
 
-extern "C" void a2rt_rec_stats(i64 *out) {
-    memcpy(out, rec_stats, sizeof(rec_stats));
+extern "C" void a2rt_rec_stats(State *st, i64 *out) {
+    memcpy(out, st->rec_stats, sizeof(st->rec_stats));
 }
