@@ -7,11 +7,12 @@ and bound the kernel at ~15M voice-samples/s.  This kernel instead
 uses the hardware's per-sublane 128-lane shuffle (Mosaic lowers
 ``jnp.take_along_axis(src, idx, axis=1)`` to it) and a split-index
 scheme: a wavetable of S entries is covered by ceil(S/128) "passes",
-each pass shuffling one 128-wide atlas row into place.  Driver-
-captured rate (BENCH_r03, 4-lookup hifi, worst-case mip-0 pass
-count): 238-246M exact voice-samples/s; in-session bests have
-reached ~350M in fair relay weather, and typical musical content
-selects mips 2..5 (1-4 passes) and runs faster.  hermite2's shared
+each pass shuffling one 128-wide atlas row into place.  The driver-
+captured rate is ``tpu_osc_kernel_msamples_s`` in the newest
+BENCH_r*.json (284M exact hifi voice-samples/s in BENCH_r04 at the
+worst-case mip-0 pass count); in-session bests have reached ~350M in
+fair relay weather, and typical musical content selects mips 2..5
+(1-4 passes) and runs faster.  hermite2's shared
 window cuts hifi to 3 lookups/sample (~4/3x on the shuffle bound).
 
 Exactness: all arithmetic is int32 with x86 wrap semantics, matching
