@@ -596,7 +596,11 @@ int a2rt_add_program(State *st, int handle, const i32 *blob, int nwords) {
         int size = *w++;
         fn.argc = (u32)*w++; fn.argv = (u32)*w++; fn.topreg = (u32)*w++;
         for (int i = 0; i < MAXARGS; ++i) fn.argdefs[i] = *w++;
-        fn.code.resize(size);
+        /* one 0 pad word: the VM's computed-goto decode reads the
+           operand word code[pc + 1] unconditionally (a2rt_vm.inc
+           VM_DISPATCH), so the final 1-word instruction must have a
+           readable successor */
+        fn.code.resize(size + 1, 0);
         for (int i = 0; i < size; ++i) fn.code[i] = (u32)*w++;
     }
     for (int i = 0; i < nunits; ++i) {
