@@ -69,7 +69,7 @@ class DeviceRenderer:
                     from ..tpu import osc_kernel as OK
                     atlas = jnp.zeros((64, 128), jnp.int32)
                     tb = jnp.zeros(8, jnp.int32)
-                    par = jnp.zeros((8 * OK.NPARAM, OK.RPB), jnp.int32)
+                    par = jnp.zeros((OK.NPARAM, 8 * OK.RPB), jnp.int32)
                     jax.jit(lambda t, p: OK._osc_call(1, t, p, atlas)) \
                         (tb, par).block_until_ready()
                 except BaseException:

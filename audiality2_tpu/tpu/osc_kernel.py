@@ -114,7 +114,8 @@ def _mul_shr24(x, y):
     return (hi << 8) | jax.lax.shift_right_logical(lo, 24)
 
 
-def _make_kernel(npass, interpret=False, quality=0, fused_pm=True):
+def _make_kernel(npass, interpret=False, quality=0, fused_pm=True,
+                 mono=False):
     def kern(tbase_ref, param_ref, atlas_ref, out_ref):
         n = jax.lax.broadcasted_iota(jnp.int32, (FRAG, RPB), 0)
         P = param_ref[:]
@@ -244,24 +245,35 @@ def _make_kernel(npass, interpret=False, quality=0, fused_pm=True):
             # attribution variant (A2_COMPUTE_PROBE=nopanmix): raw
             # amped oscillator rows, masked, mono
             out_ref[0:FRAG] = jnp.where(valid, x, 0)
-            out_ref[FRAG:] = jnp.zeros((FRAG, RPB), jnp.int32)
+            if not mono:
+                out_ref[FRAG:] = jnp.zeros((FRAG, RPB), jnp.int32)
             return
+        mode = P[P_MODE][None, :]
+        haspm = (mode & ROW_HASPM) != 0
         vol = P[P_VOL0][None, :] + n * P[P_DVOL][None, :]
+        if mono:
+            # mono program (no row carries ROW_STEREO): the panmix
+            # collapses to the vol ramp alone (panmix.c
+            # panmix_process11) — channel 1 is identically zero, so
+            # the kernel emits only channel 0 and the whole
+            # downstream accumulation runs at half the lane traffic
+            mch0 = _mul_shr24(x, vol)
+            out_ref[0:FRAG] = jnp.where(
+                valid, jnp.where(haspm, mch0, x), 0)
+            return
         pan = P[P_PAN0][None, :] + n * P[P_DPAN][None, :]
         vp = _mul_shr24(pan, vol)
         v0 = vol - vp
         v1 = vol + vp
         lim = vol << 1
-        mode = P[P_MODE][None, :]
         clampf = (mode & ROW_CLAMP) != 0
         v0 = jnp.where(clampf, jnp.minimum(v0, lim), v0)
         v1 = jnp.where(clampf, jnp.minimum(v1, lim), v1)
-        haspm = (mode & ROW_HASPM) != 0
         stereo = (mode & ROW_STEREO) != 0
-        mono = _mul_shr24(x, vol)
+        mch0 = _mul_shr24(x, vol)
         lch = _mul_shr24(x, v0)
         rch = _mul_shr24(x, v1)
-        ch0 = jnp.where(haspm, jnp.where(stereo, lch, mono), x)
+        ch0 = jnp.where(haspm, jnp.where(stereo, lch, mch0), x)
         ch1 = jnp.where(haspm & stereo, rch, 0)
         out_ref[0:FRAG] = jnp.where(valid, ch0, 0)
         out_ref[FRAG:] = jnp.where(valid, ch1, 0)
@@ -269,10 +281,13 @@ def _make_kernel(npass, interpret=False, quality=0, fused_pm=True):
 
 
 def _osc_call(npass, tbase, params, atlas_pairs, interpret=False,
-              quality=0, fused_pm=True):
-    """One pass-class pallas call: params (NB*NPARAM, RPB) int32,
-    tbase (NB,) int32 -> (2*FRAG, NB*RPB) int32 pan-mixed audio
-    (sublanes 0..63 = channel 0, 64..127 = channel 1).
+              quality=0, fused_pm=True, mono=False):
+    """One pass-class pallas call: params (NPARAM, NB*RPB) int32
+    (16 flat param vectors — a pure slice/concat on the XLA side,
+    where the old (NB*NPARAM, RPB) interleave cost a real on-device
+    relayout), tbase (NB,) int32 -> (C*FRAG, NB*RPB) int32 pan-mixed
+    audio (sublanes 0..63 = channel 0, 64..127 = channel 1; mono
+    programs emit C = 1 channel and halve every downstream byte).
 
     interpret=True runs the kernel in the Pallas interpreter — used by
     the default (CPU) test suite so the device code path is exercised
@@ -281,20 +296,21 @@ def _osc_call(npass, tbase, params, atlas_pairs, interpret=False,
     one pair lookup per sample instead of hifi's three (hermite2's
     shared-window scheme), lifting the gather-bound kernel ceiling
     ~3x."""
-    NB = params.shape[0] // NPARAM
+    NB = params.shape[1] // RPB
+    C = 1 if mono else 2
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(NB,),
-        in_specs=[pl.BlockSpec((NPARAM, RPB), lambda b, tb: (b, 0),
+        in_specs=[pl.BlockSpec((NPARAM, RPB), lambda b, tb: (0, b),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((2 * FRAG, RPB), lambda b, tb: (0, b),
+        out_specs=pl.BlockSpec((C * FRAG, RPB), lambda b, tb: (0, b),
                                memory_space=pltpu.VMEM),
     )
     f = pl.pallas_call(
-        _make_kernel(npass, interpret, quality, fused_pm),
+        _make_kernel(npass, interpret, quality, fused_pm, mono),
         grid_spec=gs, interpret=interpret,
-        out_shape=jax.ShapeDtypeStruct((2 * FRAG, NB * RPB),
+        out_shape=jax.ShapeDtypeStruct((C * FRAG, NB * RPB),
                                        jnp.int32))
     # x64 mode makes Pallas' grid/index machinery trace as i64, which
     # Mosaic cannot legalize; the kernel itself is pure int32, so
@@ -443,7 +459,9 @@ class OscBatch:
                     # no panmix: mode 0 passes the amped sample
                     # through on channel 0, full validity window
                     params[b, P_END, l] = FRAG
-            out.append((cls, tbase_arr, params.reshape(-1, RPB), order))
+            out.append((cls, tbase_arr,
+                        params.transpose(1, 0, 2).reshape(NPARAM, -1),
+                        order))
         return out
 
 

@@ -1396,7 +1396,7 @@ def _ramp_scan(rmp, base):
 
 def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
                  rampmat, dead_slot, interpret, has_ramp=False,
-                 quality=0, rowperm=None):
+                 quality=0, rowperm=None, mono=False):
     """Expands oscillator runs into per-fragment kernel rows ON THE
     DEVICE, evaluates them with the pallas kernel and scatter-adds
     the panmixed audio into the slots.
@@ -1566,7 +1566,8 @@ def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
                     | (tg[sl, 8].astype(jnp.int64) & 0xFFFFFFFF),
                     ph_sl)
             if "nocls0" in probe:       # perf diagnosis only
-                outs.append(jnp.zeros((P, 2 * FRAG), jnp.int32))
+                outs.append(jnp.zeros(
+                    (P, (FRAG if mono else 2 * FRAG)), jnp.int32))
                 b0 += P
                 continue
             res = _noise_audio(
@@ -1581,33 +1582,38 @@ def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
                          + nn_ * damp[sl].astype(jnp.int64)[:, None])
             res = jnp.where(dcf, dcres.astype(res.dtype), res)
             if "nocls0pm" in probe:     # perf diagnosis only
-                outs.append(jnp.concatenate(
+                outs.append(res if mono else jnp.concatenate(
                     [res, jnp.zeros_like(res)], axis=1))
                 b0 += P
                 continue
             outs.append(_panmix_rows(
                 res, vol0[sl], dvol[sl], pan0[sl], dpan[sl],
-                off[sl], end[sl], mode[sl], fused))   # (P, 2*64)
+                off[sl], end[sl], mode[sl], fused,
+                mono=mono))                     # (P, C*64)
             b0 += P
             continue
-        par = jnp.stack(
-            [x[sl].reshape(NB, OK.RPB) for x in fields],
-            axis=1).reshape(NB * OK.NPARAM, OK.RPB)
+        # flat (NPARAM, P) param layout: a pure slice/concat for XLA
+        # (the old per-block (NB*NPARAM, RPB) interleave cost a real
+        # on-device relayout of the whole param matrix)
+        par = jnp.stack([x[sl] for x in fields])
         if "nokernel" in probe:
-            res = jnp.zeros((2 * FRAG, P), jnp.int32)
+            res = jnp.zeros(((FRAG if mono else 2 * FRAG), P),
+                            jnp.int32)
         else:
             # the kernel applies the per-row panmix + the [OFF, END)
             # validity window IN the pallas program (2 output
-            # channel sublanes per row) — the XLA side never builds
-            # a per-sample int64 row matrix
+            # channel sublanes per row; 1 for mono programs) — the
+            # XLA side never builds a per-sample int64 row matrix
             res = OK._osc_call(cls, tb, par, atlas,
                                interpret=interpret, quality=quality,
-                               fused_pm=fused)
-        outs.append(res.T)                      # (P, 2*64)
+                               fused_pm=fused, mono=mono)
+        outs.append(res.T)                      # (P, C*64)
         b0 += P
-    audio = jnp.concatenate(outs, axis=0)       # [Rtot, 2*FRAG] i32
+    audio = jnp.concatenate(outs, axis=0)       # [Rtot, C*FRAG] i32
 
     if "noscatter" in probe:        # perf diagnosis only
+        if mono:
+            return slots.at[0, 0].add(audio.sum(axis=0))
         return slots.at[0].add(audio.sum(axis=0).reshape(2, FRAG))
     # rows stay in class/table order for the kernel, so slot ids
     # can't be PRE-sorted — the accumulation is a sorted segment-sum
@@ -1627,10 +1633,13 @@ def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
     seg = jax.ops.segment_sum(
         audio2, keys, num_segments=slots.shape[0],
         indices_are_sorted=True)
+    if mono:
+        return slots.at[:, 0].add(seg)
     return slots + seg.reshape(slots.shape)
 
 
-def _panmix_rows(osc, vol0, dvol, pan0, dpan, off, end, mode, fused):
+def _panmix_rows(osc, vol0, dvol, pan0, dpan, off, end, mode, fused,
+                 mono=False):
     """Reference panmix (panmix.c panmix_process12/process11) for the
     table-less class-0 rows (noise/dc), whose audio is computed in
     XLA rather than the pallas kernel: per-sample vol/pan ramps
@@ -1638,21 +1647,29 @@ def _panmix_rows(osc, vol0, dvol, pan0, dpan, off, end, mode, fused):
     cancels), stereo positioning with the 2*vol clamp, and the
     [OFF, END) validity window.  Returns int32 [P, 2*FRAG] (channel 0
     sublanes 0..63, channel 1 64..127) matching the fused kernel's
-    row layout."""
+    row layout — or [P, FRAG] channel 0 only for mono programs (no
+    row carries ROW_STEREO, so channel 1 is identically zero)."""
     n = jnp.arange(FRAG, dtype=jnp.int64)[None, :]
     dvol = dvol.astype(jnp.int64)
-    dpan = dpan.astype(jnp.int64)
     valid = (n >= off.astype(jnp.int64)[:, None]) \
         & (n < end.astype(jnp.int64)[:, None])
     osc64 = osc.astype(jnp.int64)
     if not fused:                   # perf diagnosis only
         ch0s = jnp.where(valid, osc64, 0)
+        if mono:
+            return ch0s.astype(jnp.int32)
         ch1s = jnp.zeros_like(ch0s)
         return jnp.concatenate(
             [ch0s, ch1s], axis=1).astype(jnp.int32)
     vol = (vol0.astype(jnp.int64)[:, None]
            + n * dvol[:, None]) \
         .astype(jnp.int32).astype(jnp.int64)
+    haspm = ((mode & _ROW_HASPM) != 0)[:, None]
+    mono_pm = (osc64 * vol) >> 24
+    if mono:
+        ch0 = jnp.where(haspm, mono_pm, osc64)
+        return jnp.where(valid, ch0, 0).astype(jnp.int32)
+    dpan = dpan.astype(jnp.int64)
     pan = (pan0.astype(jnp.int64)[:, None]
            + n * dpan[:, None]) \
         .astype(jnp.int32).astype(jnp.int64)
@@ -1663,9 +1680,7 @@ def _panmix_rows(osc, vol0, dvol, pan0, dpan, off, end, mode, fused):
     clamp = ((mode & _ROW_CLAMP) != 0)[:, None]
     v0 = jnp.where(clamp, jnp.minimum(v0, lim), v0)
     v1 = jnp.where(clamp, jnp.minimum(v1, lim), v1)
-    haspm = ((mode & _ROW_HASPM) != 0)[:, None]
     stereo = ((mode & _ROW_STEREO) != 0)[:, None]
-    mono_pm = (osc64 * vol) >> 24
     l_pm = (osc64 * v0) >> 24
     r_pm = (osc64 * v1) >> 24
     ch0 = jnp.where(haspm, jnp.where(stereo, l_pm, mono_pm), osc64)
@@ -2861,6 +2876,20 @@ class DeviceMixer:
         prog.has_ramp = bool(grow("has_ramp",
                                   int(getattr(prog, "has_ramp",
                                               False))))
+        # sticky stereo-rows flag: a program none of whose rows carry
+        # ROW_STEREO (nor stereo stash audio) runs the expansion in
+        # MONO — the kernel emits one channel sublane group and the
+        # whole row-audio accumulation moves half the bytes.  Checked
+        # at run level (expanded rows inherit the run's mode; the
+        # ramp replay substitutes vol/pan values, never the mode).
+        st = 0
+        if prog.runmat is not None and prog.runmat.shape[0]:
+            st = int(bool(
+                (prog.runmat[:, RC_MODE] & _ROW_STEREO).any()))
+        if not st and getattr(prog, "stash_audio", None) is not None \
+                and prog.stash_audio.shape[0]:
+            st = int(bool(prog.stash_audio[:, 1].any()))
+        prog.rows_stereo = bool(grow("rows_stereo", st))
         dead = prog.ninst * prog.F
 
         # oscillator runs: pow2-quantized monotone class-block growth;
@@ -3120,11 +3149,17 @@ class DeviceMixer:
         # deterministic across streams of a fleet-shared mixer
         items.sort(key=lambda t: (t[1], t[3]))
         items = [t[:3] for t in items]
+        # quality slot: bits 0-3 = interpolator tier, 16 = float
+        # stage tier, 32 = mono row expansion (no ROW_STEREO row and
+        # no stereo stash anywhere in the song — sticky via _repad)
         return (prog.F, prog.ninst, prog.master_inst,
                 prog.master_channels, rows, rpad, ns, nsm,
                 ramppad if prog.has_ramp else 0, self.readback,
                 self.quality + (16 if self.stage_mode == "float"
-                                else 0), tuple(items))
+                                else 0)
+                + (32 if rpad and not getattr(prog, "rows_stereo",
+                                              True) else 0),
+                tuple(items))
 
     def device_bytes(self, prog):
         """HBM budget for one stream at this program's signature
@@ -3158,7 +3193,8 @@ class DeviceMixer:
         Rtot = sum(NB * OK.RPB for _, NB in rows_sig)
         blob = blob_total * 4
         execb = (ninst * F + 1) * 2 * FRAG * 4             # slots
-        execb += Rtot * 2 * FRAG * 4                       # row audio
+        execb += Rtot * (FRAG if quality & 32
+                         else 2 * FRAG) * 4                # row audio
         if ramppad:
             execb += (RUN_KCHUNK - 1) * ramppad * 10 * 4   # traj
         execb += ns * 2 * FRAG * 4 + nsm * FRAG * 4        # stash
@@ -3184,7 +3220,8 @@ class DeviceMixer:
         (__graft_entry__)."""
         (F, ninst, minst, mch, rows_sig, rpad, ns, nsm, ramppad,
          readback, quality, items) = sig
-        stage_float = quality >= 16    # stage tier bit (_signature)
+        stage_float = bool(quality & 16)   # stage tier bit
+        mono_rows = bool(quality & 32)     # mono expansion bit
         quality &= 15
         interpret = self.interpret
         exec_items = list(items)
@@ -3201,7 +3238,8 @@ class DeviceMixer:
                                      tbase_devs, runmat, rampmat,
                                      ninst * F, interpret,
                                      ramppad > 0, quality,
-                                     rowperm=rowperm)
+                                     rowperm=rowperm,
+                                     mono=mono_rows)
             if ns:
                 # stash tables are build-time sorted by slot
                 seg = jax.ops.segment_sum(
