@@ -958,17 +958,26 @@ def program_from_native(rows, stages, stash, F, frag_sizes,
             psz = np.diff(np.append(pbnd, n))
             dense_groups = []
             legacy = []
+            dense_dsts = set()
             for pb, pn in zip(pbnd, psz):
                 idx = o2[pb:pb + pn]
                 np_ = int(pn)
                 frs = fr_g[idx]
-                if np_ * 2 < F or len(np.unique(frs)) != np_:
+                p = int(pks[pb])
+                dsp = p & 0xFFFFFFFF
+                # REPLACE groups must have unique destination spans
+                # for the vectorized emit (the add-of-difference
+                # reads `old` once for all groups; two REPLACEs into
+                # one span would both subtract it) — such pairs stay
+                # on the order-free legacy slice list
+                if np_ * 2 < F or len(np.unique(frs)) != np_ \
+                        or (not add and dsp in dense_dsts):
                     legacy.append(seg[idx])
                     continue
-                p = int(pks[pb])
+                dense_dsts.add(dsp)
                 da = np.zeros((F, 9), np.int32)
                 da[:, 0] = (p >> 32) + far
-                da[:, 1] = (p & 0xFFFFFFFF) + far
+                da[:, 1] = dsp + far
                 da[frs, 2:9] = seg[idx][:, 2:9]
                 dense_groups.append(da)
             dense = np.stack(dense_groups) if dense_groups \
@@ -1394,6 +1403,9 @@ def _ramp_scan(rmp, base):
     return jnp.stack([o.astype(jnp.int32) for o in outs], axis=-1)
 
 
+_BARRIER_DEFAULT = ""
+
+
 def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
                  rampmat, dead_slot, interpret, has_ramp=False,
                  quality=0, rowperm=None, mono=False):
@@ -1417,6 +1429,23 @@ def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
     probe = _probes()
     if "noexpand" in probe:
         return slots
+
+    # Materialization barriers: the isolated costs of this function's
+    # ops are small (take+segsum 3.4 ms, transpose 0.26 ms, param
+    # pack 0.07 ms at k2trance 12-s shapes — tools/bench_accum.py),
+    # but composed, XLA re-fuses producer chains into every consumer
+    # and the same program measures 3-4x that (the round-4 "mere act
+    # of substituting" effect).  A2_EXPAND_BARRIER=a,b,... ablates
+    # barrier placements with tools/bench_true_compute.py; the
+    # default set is the measured-best combination.
+    _bset = _os.environ.get("A2_EXPAND_BARRIER", _BARRIER_DEFAULT)
+    _bset = set(_bset.split(",")) if _bset else set()
+
+    def _bar(name, *xs):
+        if name in _bset or "all" in _bset:
+            xs = jax.lax.optimization_barrier(xs)
+        return xs if len(xs) > 1 else xs[0]
+
     rm = runmat
     start = rm[:, RC_START]
     alive_run = (rm[:, RC_LEN] > 0).astype(jnp.int32)
@@ -1436,6 +1465,7 @@ def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
             slice_sizes=(1, rm.shape[1]),
             indices_are_sorted=True,
             mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+    g = _bar("g", g)
     p = jnp.arange(Rtot, dtype=jnp.int32)
     k = p - g[:, RC_START]
     alive = (rid >= 0) & (k < g[:, RC_LEN])
@@ -1543,6 +1573,7 @@ def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
     fields = [pos, f, (dph32 >> 24) * az, (dph32 & 0xFFFFFF) * az,
               amp, damp, vol0, dvol, pan0, dpan, off, end,
               mode, zeros, zeros, zeros]
+    fields = list(_bar("fields", *fields))
 
     outs = []
     b0 = 0
@@ -1610,6 +1641,7 @@ def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
         outs.append(res.T)                      # (P, C*64)
         b0 += P
     audio = jnp.concatenate(outs, axis=0)       # [Rtot, C*FRAG] i32
+    audio = _bar("audio", audio)
 
     if "noscatter" in probe:        # perf diagnosis only
         if mono:
@@ -1622,17 +1654,29 @@ def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
     # dispatch ships it precomputed in the blob (rowperm) and the
     # chip never runs the O(Rtot log Rtot) key sort; the fallback
     # on-device sort serves perm-less callers (the sharded dryrun).
-    if rowperm is not None:
-        perm = rowperm
-        keys = jnp.take(slot_r.astype(jnp.int32), perm)
+    if _os.environ.get("A2_ACCUM") == "scatter":
+        # A/B variant: skip the slot-order row gather and let XLA
+        # scatter-add directly on unsorted keys (same result — int32
+        # wrap adds commute).  Round-3 relay-polluted timings said
+        # sorted segsum wins 6 vs 16.5 ms; remeasure TRUE with
+        # tools/bench_true_compute.py before trusting either.
+        seg = jax.ops.segment_sum(
+            audio, slot_r.astype(jnp.int32),
+            num_segments=slots.shape[0])
     else:
-        keys, perm = jax.lax.sort_key_val(
-            slot_r.astype(jnp.int32),
-            jnp.arange(Rtot, dtype=jnp.int32))
-    audio2 = jnp.take(audio, perm, axis=0)
-    seg = jax.ops.segment_sum(
-        audio2, keys, num_segments=slots.shape[0],
-        indices_are_sorted=True)
+        if rowperm is not None:
+            perm = rowperm
+            keys = jnp.take(slot_r.astype(jnp.int32), perm)
+        else:
+            keys, perm = jax.lax.sort_key_val(
+                slot_r.astype(jnp.int32),
+                jnp.arange(Rtot, dtype=jnp.int32))
+        audio2, keys = _bar("sorted", jnp.take(audio, perm, axis=0),
+                            keys)
+        seg = jax.ops.segment_sum(
+            audio2, keys, num_segments=slots.shape[0],
+            indices_are_sorted=True)
+    seg = _bar("seg", seg)
     if mono:
         return slots.at[:, 0].add(seg)
     return slots + seg.reshape(slots.shape)
@@ -1821,10 +1865,60 @@ def _apply_stage_dense(slots, key, darr):
     Fragments the instance didn't process carry frames=0: their
     delta is zero and the read-modify-write writes back what it
     read, which also makes all-zero padding groups (span start 0 =
-    master) harmless."""
+    master) harmless.
+
+    All G groups evaluate in ONE windowed gather + stage math + ONE
+    windowed scatter-add (update_window_dims) instead of a serial
+    G-round dynamic-slice/update chain: groups of one stage key are
+    order-independent (the build already emits them in span-sorted,
+    not record, order), REPLACE groups have host-verified unique
+    destination spans (duplicate-destination REPLACE pairs are
+    demoted to the legacy slice list at build time), and span
+    windows are instance-aligned so distinct starts never overlap.
+    A2_DENSE_SERIAL=1 keeps the old loop for A/B."""
     G, F = darr.shape[0], darr.shape[1]
-    n = jnp.arange(FRAG, dtype=jnp.int64)[None, :]
     add, sch = _stage_key_meta(key)
+    if not _os.environ.get("A2_DENSE_SERIAL"):
+        nn = jnp.arange(FRAG, dtype=jnp.int64)[None, :]
+        a = darr.reshape(G * F, 9).astype(jnp.int64)
+        s0 = darr[:, 0, 0]
+        d0 = darr[:, 0, 1]
+        gdn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+            start_index_map=(0,))
+        src = jax.lax.gather(
+            slots, s0[:, None], gdn, slice_sizes=(F, 2, FRAG),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS) \
+            .reshape(G * F, 2, FRAG)
+        o = a[:, 2:3]
+        f = a[:, 3:4]
+        mask = (nn >= o) & (nn < o + f)
+        ns = nn - o
+        x0 = src[:, sch[0]].astype(jnp.int64)
+        x1 = src[:, sch[-1]].astype(jnp.int64)
+        outs = _stage_math(key, x0, x1, a, ns)
+        if add:
+            dst = None
+        else:
+            dst = jax.lax.gather(
+                slots, d0[:, None], gdn, slice_sizes=(F, 2, FRAG),
+                mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS) \
+                .reshape(G * F, 2, FRAG)
+        delta = jnp.zeros((G * F, 2, FRAG), jnp.int32)
+        for ch, out in outs.items():
+            out32 = out.astype(jnp.int32)
+            if add:
+                d = jnp.where(mask, out32, 0)
+            else:
+                d = jnp.where(mask, out32 - dst[:, ch], 0)
+            delta = delta.at[:, ch].set(d)
+        sdn = jax.lax.ScatterDimensionNumbers(
+            update_window_dims=(1, 2, 3), inserted_window_dims=(),
+            scatter_dims_to_operand_dims=(0,))
+        return jax.lax.scatter_add(
+            slots, d0[:, None], delta.reshape(G, F, 2, FRAG), sdn,
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+    n = jnp.arange(FRAG, dtype=jnp.int64)[None, :]
     for g2 in range(G):
         a = darr[g2].astype(jnp.int64)     # [F, 9]
         s0 = darr[g2, 0, 0]
@@ -3158,7 +3252,8 @@ class DeviceMixer:
                 self.quality + (16 if self.stage_mode == "float"
                                 else 0)
                 + (32 if rpad and not getattr(prog, "rows_stereo",
-                                              True) else 0),
+                                              True)
+                   and not _os.environ.get("A2_NO_MONO") else 0),
                 tuple(items))
 
     def device_bytes(self, prog):
