@@ -1648,18 +1648,18 @@ def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
             return slots.at[0, 0].add(audio.sum(axis=0))
         return slots.at[0].add(audio.sum(axis=0).reshape(2, FRAG))
     # rows stay in class/table order for the kernel, so slot ids
-    # can't be PRE-sorted — the accumulation is a sorted segment-sum
-    # over a slot-order permutation of the rows.  The permutation is
-    # a pure function of the runmat the HOST built, so the production
-    # dispatch ships it precomputed in the blob (rowperm) and the
-    # chip never runs the O(Rtot log Rtot) key sort; the fallback
-    # on-device sort serves perm-less callers (the sharded dryrun).
-    if _os.environ.get("A2_ACCUM") == "scatter":
-        # A/B variant: skip the slot-order row gather and let XLA
-        # scatter-add directly on unsorted keys (same result — int32
-        # wrap adds commute).  Round-3 relay-polluted timings said
-        # sorted segsum wins 6 vs 16.5 ms; remeasure TRUE with
-        # tools/bench_true_compute.py before trusting either.
+    # can't be PRE-sorted.  Two equivalent accumulations (int32 wrap
+    # adds commute, so order is free):
+    #   scatter (DEFAULT) — segment_sum directly on unsorted keys;
+    #   sorted (A2_ACCUM=sorted) — gather rows into slot order first,
+    #     then a sorted segment-sum (perm precomputed on the host and
+    #     shipped in the blob; on-device sort for perm-less callers).
+    # Round-3 relay-polluted timings said sorted wins 6 vs 16.5 ms;
+    # the round-5 TRUE chain measurement (tools/bench_true_compute)
+    # says the opposite — the [Rtot, C*64] row gather costs more than
+    # XLA's unsorted scatter (47.0 vs 51.2 ms/superblock FULL), so
+    # scatter is the production default.
+    if _os.environ.get("A2_ACCUM", "scatter") != "sorted":
         seg = jax.ops.segment_sum(
             audio, slot_r.astype(jnp.int32),
             num_segments=slots.shape[0])
@@ -2774,6 +2774,16 @@ def _host_slot_perm(runmat, Rtot, dead_slot):
     return np.argsort(slot_r).astype(np.int32)
 
 
+def _accum_sorted():
+    """True when A2_ACCUM=sorted selects the gather+sorted-segsum slot
+    accumulation (see _expand_rows); the default is the unsorted
+    scatter, which needs no host-precomputed permutation.  Read at
+    call time so A/B drivers can flip it per trace, but it must stay
+    constant between a signature's first trace and its dispatches
+    (the blob layout depends on it)."""
+    return _os.environ.get("A2_ACCUM", "scatter") == "sorted"
+
+
 def _blob_layout(sig):
     """Static element layout of the one-blob dispatch upload: a map
     name -> (offset, shape) over a flat int32 array, derived from the
@@ -2787,9 +2797,12 @@ def _blob_layout(sig):
     if rpad:
         ent.append(("rm", (rpad, BASE_N)))
         Rtot = sum(NB * OK.RPB for _, NB in rows_sig)
-        if Rtot:
+        if Rtot and _accum_sorted():
             # host-precomputed slot-order row permutation (saves the
-            # on-device O(Rtot log Rtot) sort in _expand_rows)
+            # on-device O(Rtot log Rtot) sort in _expand_rows); the
+            # default scatter accumulation needs no permutation, so
+            # the slot (and the host argsort) exist only in sorted
+            # mode
             ent.append(("rowperm", (Rtot,)))
     if ramppad:
         ent.append(("rmp", (ramppad, RR_N)))
@@ -3442,8 +3455,8 @@ class DeviceMixer:
             runmat = take(blob, "rm") if rpad \
                 else jnp.zeros((0, BASE_N), jnp.int32)
             Rtot_ = sum(NB * OK.RPB for _, NB in rows_sig)
-            rowperm = take(blob, "rowperm") if rpad and Rtot_ \
-                else None
+            rowperm = take(blob, "rowperm") \
+                if rpad and Rtot_ and _accum_sorted() else None
             rampmat = take(blob, "rmp") if ramppad \
                 else jnp.zeros((0, RR_N), jnp.int32)
             stash_audio = take(blob, "sa") if ns else z
@@ -3603,7 +3616,7 @@ class DeviceMixer:
             put("rm", prog.runmat)
             Rtot_ = sum(NB * OK.RPB
                         for _, NB, _ in prog.class_blocks)
-            if Rtot_:
+            if Rtot_ and _accum_sorted():
                 put("rowperm", _host_slot_perm(
                     prog.runmat, Rtot_, prog.ninst * prog.F))
         rmp = getattr(prog, "rampmat", None)

@@ -178,7 +178,7 @@ def _assemble(mixer, prog, sig, layout, total):
     if prog.runmat is not None and prog.runmat.size:
         put("rm", prog.runmat)
         Rtot = sum(NB * SB.OK.RPB for _, NB, _ in prog.class_blocks)
-        if Rtot:
+        if Rtot and SB._accum_sorted():
             put("rowperm", SB._host_slot_perm(
                 prog.runmat, Rtot, prog.ninst * prog.F))
     rmp = getattr(prog, "rampmat", None)
