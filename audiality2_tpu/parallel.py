@@ -20,10 +20,14 @@ On this deployment only one real TPU chip is visible, so the tests
 exercise it on a virtual host-platform mesh; on real multi-chip
 hardware the same code shards over ICI unchanged.
 
-State-carrying items (fbdelay rings, filter d1/d2 / limiter peak /
-fm per-op `last`) are carried REPLICATED between superblocks: every
-device computes the identical post-psum stage chain, so their states
-stay bitwise identical across the mesh.
+The post-psum bus-stage chain is inherently sequential, so it runs
+on shard 0 ONLY (lax.cond on axis_index) and its results — master
+audio, fbdelay rings, filter/limiter/fm states — are broadcast with
+a second psum (the other shards contribute zeros; integer adds make
+that an exact broadcast).  State-carrying items are thus still
+REPLICATED between superblocks, but each superblock computes the
+tail once instead of n_devices times (VERDICT r4 #7: the replicated
+tail made 4-shard total work 1.27x solo).
 """
 
 import numpy as np
@@ -77,46 +81,96 @@ def render_sharded(interface, program, frames, args=(),
             return jnp.zeros((K, 4), jnp.int32)
         return jnp.zeros((K, 2, 2), jnp.int32)
 
-    def shard_runs(prog):
-        """Strided run compaction: shard d owns runs d, d+n, ... —
-        striding keeps each shard's rows compact and START-ascending,
-        which the expansion's run-id mapping requires.  Ramp runs'
-        RR_BASE back-pointers are remapped shard-locally."""
-        rmfull = prog.runmat if prog.runmat is not None \
-            else np.zeros((0, SB.BASE_N), np.int32)
-        Nr = rmfull.shape[0]
-        NrR = prog.rampmat.shape[0] if prog.rampmat is not None \
-            else 0
-        Lmax = max(1, (Nr + n_devices - 1) // n_devices)
-        base_shards = []
-        ramp_shards = []
+    def shard_programs(rows, stages, stash, nfrag, prog):
+        """Per-shard COMPACTED row programs: shard d owns record
+        runs d, d+n, ... and lays out its OWN class blocks from just
+        those runs, so each shard's kernel/expansion row space is
+        ~1/n of the solo program's instead of the full padded Rtot
+        (the r4 scaling table's growth past 2 shards was every shard
+        expanding the full row space with only its runs alive).
+        Slot numbering is pinned to the full program's instance map
+        (program_from_native inst_map).  Returns unified
+        (rows_sig, Rtot_u, ramppad_u, stacked tbase list,
+        stacked runmat, stacked rampmat)."""
+        z_st = stages[:0] if len(stages) else stages
+        z_sh = stash[:0] if len(stash) else stash
+        sprogs = []
         for d in range(n_devices):
-            own = np.arange(d, Nr, n_devices)
-            m = np.zeros((Lmax, SB.BASE_N), np.int32)
-            m[:, SB.RC_START] = prog.Rtot
-            m[:, SB.RC_RIDX] = -1
-            m[:len(own)] = rmfull[own]
-            base_shards.append(m)
-            rmp = prog.rampmat.copy() if NrR else \
-                np.zeros((0, SB.RR_N), np.int32)
+            sp = program_from_native(
+                rows[d::n_devices] if len(rows) else rows,
+                z_st, z_sh, nfrag, prog.frag_sizes, r.atlas_entry,
+                r.master_channels,
+                inst_map=(prog.inst_of, prog.ninst))
+            sprogs.append(sp)
+        # unified per-class NB = pow2(max over shards) — pow2 so the
+        # jit signature stays put as content drifts across
+        # superblocks
+        nb_u = {}
+        for sp in sprogs:
+            for c, NB, _ in sp.class_blocks:
+                nb_u[c] = max(nb_u.get(c, 0), NB)
+        for c in nb_u:
+            if nb_u[c]:
+                nb_u[c] = SB._pow2(nb_u[c], 1)
+        rows_sig = tuple((c, nb_u.get(c, 0))
+                         for c in SB.ALL_CLASSES)
+        Rtot_u = sum(NB * SB.OK.RPB for _, NB in rows_sig)
+        Nr_u = SB._pow2(max(max((sp.runmat.shape[0]
+                                 if sp.runmat is not None else 0)
+                                for sp in sprogs), 1), 256)
+        ramppad_u = max((sp.rampmat.shape[0] if sp.rampmat
+                         is not None else 0) for sp in sprogs)
+        if any(sp.has_ramp for sp in sprogs) or prog.has_ramp:
+            ramppad_u = SB._pow2(max(ramppad_u, 1), 128)
+        tb_sh = [np.zeros((n_devices, NB), np.int32)
+                 for _, NB in rows_sig]
+        rm_sh = np.zeros((n_devices, Nr_u, SB.BASE_N), np.int32)
+        rm_sh[:, :, SB.RC_START] = Rtot_u
+        rm_sh[:, :, SB.RC_RIDX] = -1
+        rmp_sh = np.zeros((n_devices, max(ramppad_u, 1), SB.RR_N),
+                          np.int32)
+        for d, sp in enumerate(sprogs):
+            # remap this shard's RC_START into the unified row space
+            # (same searchsorted-shift scheme as DeviceMixer._repad)
+            cb = {c: (NB, tb) for c, NB, tb in sp.class_blocks}
+            old_ends = []
+            shift = []
+            ob = nb = 0
+            for i, (c, NBu) in enumerate(rows_sig):
+                NB, tb = cb.get(c, (0, None))
+                shift.append(nb - ob)
+                ob += NB * SB.OK.RPB
+                old_ends.append(ob)
+                nb += NBu * SB.OK.RPB
+                if NB:
+                    tb_sh[i][d, :NB] = tb
+            shift.append(nb - ob)          # dead-run sentinel
+            m = sp.runmat if sp.runmat is not None \
+                else np.zeros((0, SB.BASE_N), np.int32)
+            Nr = m.shape[0]
+            if Nr:
+                starts = m[:, SB.RC_START].astype(np.int64)
+                ci = np.searchsorted(np.asarray(old_ends), starts,
+                                     side="right")
+                m = m.copy()
+                m[:, SB.RC_START] = (
+                    starts
+                    + np.asarray(shift, np.int64)[ci]).astype(
+                        np.int32)
+                rm_sh[d, :Nr] = m
+            NrR = sp.rampmat.shape[0] if sp.rampmat is not None \
+                else 0
             if NrR:
-                local = np.zeros(max(Nr, 1), np.int32)
-                local[own] = np.arange(len(own), dtype=np.int32)
-                owned = np.isin(rmp[:, SB.RR_BASE], own)
-                rmp[:, SB.RR_BASE] = local[rmp[:, SB.RR_BASE]]
-                rmp[~owned, SB.RR_BASE] = 0
-            ramp_shards.append(rmp)
-        return (np.stack(base_shards), np.stack(ramp_shards))
+                rmp_sh[d, :NrR] = sp.rampmat
+        return (rows_sig, Rtot_u, ramppad_u, tb_sh, rm_sh, rmp_sh)
 
-    def build(prog, items):
-        """Compiles the sharded superblock fn for this signature."""
-        rows_sig = tuple((c, NB) for c, NB, _ in prog.class_blocks)
-        Rtot = prog.Rtot
+    def build(prog, items, rows_sig, Rtot, ramppad):
+        """Compiles the sharded superblock fn for this signature.
+        rows_sig/Rtot/ramppad describe the unified PER-SHARD row
+        space (shard_programs), not the full program's."""
         ninst, F = prog.ninst, prog.F
         nslot = ninst * F + 1
         mch = prog.master_channels
-        ramppad = (prog.rampmat.shape[0]
-                   if prog.rampmat is not None else 0)
         has_stash = prog.stash_audio is not None \
             and len(prog.stash_audio) > 0
         has_mono = getattr(prog, "stash_mono", None) is not None \
@@ -136,61 +190,87 @@ def render_sharded(interface, program, frames, args=(),
             slots = jnp.zeros((nslot, 2, SB.FRAG), jnp.int32)
             if Rtot:
                 slots = SB._expand_rows(
-                    slots, atlas, rows_sig, tb, rm[0], rmp[0],
+                    slots, atlas, rows_sig, [t[0] for t in tb],
+                    rm[0], rmp[0],
                     ninst * F, mixer.interpret, ramppad > 0,
                     mixer.quality)
             slots = jax.lax.psum(slots, axis_name="voices")
-            if has_stash:
-                slots = slots.at[ss].add(sa)
-            if has_mono:
-                slots = slots.at[sms, 0].add(sm)
-            si = fi = gi = 0
-            new_rings = []
-            new_filt = []
-            for tag, key, ex in keys:
-                if tag == "stage":
-                    la, da = st_in[si]
-                    if da.shape[0]:
-                        slots = SB._apply_stage_dense(slots, key, da)
-                    if la.shape[0]:
-                        slots = SB._apply_stage(slots, key, la)
-                    si += 1
-                elif tag == "fbd":
-                    if ex["dense"]:
-                        slots, ring = SB._apply_fbdelay_dense(
-                            slots, (ex["stereoin"], ex["stereoout"],
-                                    ex["add"], ex["chunk"])
-                            + tuple(ex["fbpar"]),
-                            fa_in[fi], fr_in[fi], F)
+
+            def tail(slots):
+                # the serial bus-stage chain — on shard 0 ONLY (it
+                # is inherently sequential, so replicating it across
+                # the mesh multiplied total work by n_devices; the
+                # r4 virtual-mesh table showed 1.27x total work at 4
+                # shards from exactly this replication,
+                # VERDICT r4 #7)
+                if has_stash:
+                    slots = slots.at[ss].add(sa)
+                if has_mono:
+                    slots = slots.at[sms, 0].add(sm)
+                si = fi = gi = 0
+                new_rings = []
+                new_filt = []
+                for tag, key, ex in keys:
+                    if tag == "stage":
+                        la, da = st_in[si]
+                        if da.shape[0]:
+                            slots = SB._apply_stage_dense(
+                                slots, key, da)
+                        if la.shape[0]:
+                            slots = SB._apply_stage(slots, key, la)
+                        si += 1
+                    elif tag == "fbd":
+                        if ex["dense"]:
+                            slots, ring = SB._apply_fbdelay_dense(
+                                slots,
+                                (ex["stereoin"], ex["stereoout"],
+                                 ex["add"], ex["chunk"])
+                                + tuple(ex["fbpar"]),
+                                fa_in[fi], fr_in[fi], F)
+                        else:
+                            slots, ring = SB._apply_fbdelay(
+                                slots,
+                                (ex["stereoin"], ex["stereoout"],
+                                 ex["add"], ex["chunk"]),
+                                fa_in[fi], fr_in[fi], fp_in[fi])
+                        new_rings.append(ring)
+                        fi += 1
+                    elif key[2] == "fm":
+                        slots, stf = SB._apply_fm(
+                            slots, (key[3], key[4], key[5][0]),
+                            la_in[gi], ls_in[gi])
+                        new_filt.append(stf)
+                        gi += 1
                     else:
-                        slots, ring = SB._apply_fbdelay(
-                            slots, (ex["stereoin"], ex["stereoout"],
-                                    ex["add"], ex["chunk"]),
-                            fa_in[fi], fr_in[fi], fp_in[fi])
-                    new_rings.append(ring)
-                    fi += 1
-                elif key[2] == "fm":
-                    slots, stf = SB._apply_fm(
-                        slots, (key[3], key[4], key[5][0]),
-                        la_in[gi], ls_in[gi])
-                    new_filt.append(stf)
-                    gi += 1
-                else:
-                    slots, stf = SB._apply_filter(
-                        slots, key[2],
-                        (key[3], key[4], key[5], key[6], key[7]),
-                        la_in[gi], ls_in[gi])
-                    new_filt.append(stf)
-                    gi += 1
-            master = slots[:F, :mch]
-            return master, new_rings, new_filt
+                        slots, stf = SB._apply_filter(
+                            slots, key[2],
+                            (key[3], key[4], key[5], key[6], key[7]),
+                            la_in[gi], ls_in[gi])
+                        new_filt.append(stf)
+                        gi += 1
+                master = slots[:F, :mch]
+                return master, new_rings, new_filt
+
+            def skip(slots):
+                z = jax.eval_shape(tail, slots)
+                return jax.tree_util.tree_map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), z)
+
+            res = jax.lax.cond(
+                jax.lax.axis_index("voices") == 0, tail, skip, slots)
+            # broadcast shard 0's results (the other shards
+            # contributed zeros, and integer adds are exact, so this
+            # psum IS the broadcast; the out_specs stay replicated)
+            return jax.tree_util.tree_map(
+                lambda x: jax.lax.psum(x, axis_name="voices"), res)
 
         nst = sum(1 for t, _, _ in keys if t == "stage")
         nfb = sum(1 for t, _, _ in keys if t == "fbd")
         nfl = sum(1 for t, _, _ in keys if t == "filt")
         return jax.jit(shard_map(
             fn, mesh=mesh,
-            in_specs=(P(), P(), P("voices"), P("voices"), P(), P(),
+            in_specs=(P(), [P("voices")] * len(rows_sig),
+                      P("voices"), P("voices"), P(), P(),
                       P(), P(), (P(),) * nst, (P(),) * nfb,
                       (P(),) * nfb, P(), (P(),) * nfl,
                       (P(),) * nfl),
@@ -216,9 +296,13 @@ def render_sharded(interface, program, frames, args=(),
         for fl in prog.filters:
             items.append(("filt", fl["key"], fl, ""))
         items.sort(key=lambda t: (t[1], t[3]))
-        sig = mixer._signature(prog)
+        (srows_sig, Rtot_u, ramppad_u, tb_sh, rm_sh,
+         rmp_sh) = shard_programs(rows, stages, stash, nfrag, prog)
+        sig = (mixer._signature(prog), srows_sig,
+               rm_sh.shape[1], rmp_sh.shape[1])
         if sig not in fns:
-            fns[sig] = build(prog, items)
+            fns[sig] = build(prog, items, srows_sig, Rtot_u,
+                             ramppad_u)
         for tag, key, ob, tie in items:
             if tag == "fbd" and ("fbd", key, tie) not in state:
                 shp = (2, SB.FBD_TAIL) if ob.get("dense") \
@@ -227,7 +311,6 @@ def render_sharded(interface, program, frames, args=(),
                                                       jnp.int32), 0)
             elif tag == "filt" and ("filt", key) not in state:
                 state[("filt", key)] = init_state(ob)
-        rm_sh, rmp_sh = shard_runs(prog)
         sa = jnp.asarray(prog.stash_audio) \
             if prog.stash_audio is not None \
             and len(prog.stash_audio) else z32
@@ -254,8 +337,7 @@ def render_sharded(interface, program, frames, args=(),
         ls_in = tuple(state[("filt", key)]
                       for t, key, ob, _ in items if t == "filt")
         master, rings, filts = fns[sig](
-            mixer._atlas(), [jnp.asarray(tb) for _, _, tb
-                             in prog.class_blocks],
+            mixer._atlas(), [jnp.asarray(t) for t in tb_sh],
             jnp.asarray(rm_sh), jnp.asarray(rmp_sh), sa, ss, sm,
             sms, st_in, fa_in, fr_in, fp_in, la_in, ls_in)
         ri = gi = 0

@@ -162,6 +162,7 @@ class SuperblockProgram:
         # the run count, not the row count
         self.runmat = None       # int32 [Nr, BASE_N]
         self.rampmat = None      # int32 [NrR, RC_N] (RAMP runs only)
+        self.inst_of = None      # owner serial -> instance index lut
         self.nruns = 0
         self.has_ramp = False    # any RAMP run (part of the sig)
         self.class_blocks = []   # (pass_class, NB, tbase np[NB])
@@ -715,6 +716,7 @@ def compile_superblock(core, frags, oplists, rowbatch):
 (SF_KIND, SF_NEST, SF_CHAIN, SF_NI, SF_NO, SF_ADD, SF_SCH, SF_DCH,
  SF_SRC0, SF_SRC1, SF_DST0, SF_DST1, SF_FRAG, SF_OFF, SF_FRM,
  SF_P0, SF_P1, SF_P2, SF_P3, SF_P4, SF_P5, SF_P6, SF_SERIAL) = range(23)
+SF_N = 23
 SK_PANMIX, SK_COPY, SK_FBDELAY = 0, 1, 2
 SK_WS, SK_F12, SK_DCB, SK_LIM = 3, 4, 5, 6
 SK_FM, SK_FMP = 7, 8     # fm stage header + op1-3 continuation row
@@ -730,38 +732,51 @@ _LIM_PEAK0 = 32768 << 8
 
 
 def program_from_native(rows, stages, stash, F, frag_sizes,
-                        atlas_entry, master_channels):
+                        atlas_entry, master_channels,
+                        inst_map=None):
     """Builds a SuperblockProgram from the native record pass's flat
     arrays (NativeRenderer.record).  atlas_entry(wave_handle, mip) ->
     (tbase, npass, pos_off) in the PairAtlas.  All heavy lifting is
-    vectorized numpy — no per-row Python loops."""
+    vectorized numpy — no per-row Python loops.
+
+    inst_map: optional (inst_of_lut, ninst) precomputed from a FULL
+    program — used by the sharded render to build per-shard row
+    programs whose slot numbering agrees with the full program's
+    stage tables (a shard sees only a subset of owners, so deriving
+    the map from the subset would renumber instances)."""
     prog = SuperblockProgram()
     prog.F = F
     prog.frag_sizes = list(frag_sizes)
     prog.master_channels = master_channels
     prog.master_inst = 0
 
-    # owner serials -> dense instance indices (0 = master).  SK_FMP
-    # continuation rows carry raw op params in the SRC/DST columns
-    # and must not leak into the owner set.
-    owners = [np.zeros(1, np.int32)]
-    if len(rows):
-        owners.append(rows[:, RF_OWNER])
-    if len(stages):
-        so = stages[stages[:, SF_KIND] != SK_FMP]
-        owners.append(so[:, SF_SRC0])
-        owners.append(so[:, SF_SRC1])
-        owners.append(so[:, SF_DST0])
-        owners.append(so[:, SF_DST1])
-    if len(stash):
-        owners.append(stash[:, 0])
-    uniq = np.unique(np.concatenate(owners))
-    assert uniq[0] == 0
-    ninst = _pow2(len(uniq), 4)
-    prog.ninst = ninst
-    lut_sz = int(uniq.max()) + 1
-    inst_of = np.zeros(lut_sz, np.int32)
-    inst_of[uniq] = np.arange(len(uniq), dtype=np.int32)
+    if inst_map is not None:
+        inst_of, ninst = inst_map
+        prog.ninst = ninst
+        prog.inst_of = inst_of
+    else:
+        # owner serials -> dense instance indices (0 = master).
+        # SK_FMP continuation rows carry raw op params in the
+        # SRC/DST columns and must not leak into the owner set.
+        owners = [np.zeros(1, np.int32)]
+        if len(rows):
+            owners.append(rows[:, RF_OWNER])
+        if len(stages):
+            so = stages[stages[:, SF_KIND] != SK_FMP]
+            owners.append(so[:, SF_SRC0])
+            owners.append(so[:, SF_SRC1])
+            owners.append(so[:, SF_DST0])
+            owners.append(so[:, SF_DST1])
+        if len(stash):
+            owners.append(stash[:, 0])
+        uniq = np.unique(np.concatenate(owners))
+        assert uniq[0] == 0
+        ninst = _pow2(len(uniq), 4)
+        prog.ninst = ninst
+        lut_sz = int(uniq.max()) + 1
+        inst_of = np.zeros(lut_sz, np.int32)
+        inst_of[uniq] = np.arange(len(uniq), dtype=np.int32)
+        prog.inst_of = inst_of
 
     def slot(owner, frag):
         return inst_of[np.asarray(owner)] * F + np.asarray(frag)
