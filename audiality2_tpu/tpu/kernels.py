@@ -157,47 +157,6 @@ def mix_to_buses(voice_out, bus, nbus):
     return jax.ops.segment_sum(voice_out, bus, num_segments=nbus)
 
 
-# =========================================================
-#   Voice farm: fused multi-fragment scan (the throughput path)
-# =========================================================
-
-def make_farm_step(atlas):
-    """Returns a jittable scan step processing one fragment for all
-    voices: state (ph, amp, vol, pan) evolves on device; pitch is
-    per-fragment host-supplied (dph rows), matching the engine's
-    control-rate contract."""
-
-    def step(state, ctl):
-        ph, amp = state
-        base, dph, damp, size24, vol0, dvol, pan0, dpan, bus, nbus = ctl
-        out = wtosc_fragments(atlas, base, ph, dph, amp, damp)
-        l, r = panmix_stereo(out, vol0, dvol, pan0, dpan)
-        mixed_l = jnp.sum(l, axis=0)
-        mixed_r = jnp.sum(r, axis=0)
-        ph = ph + FRAG * dph
-        ph = jnp.where(size24 > 0, ph % size24, ph)
-        amp = amp + FRAG * damp
-        return (ph, amp), (mixed_l, mixed_r)
-
-    return step
-
-
-def farm_render(atlas, base, dph, size24, nfrags, amp0, damp,
-                vol, pan):
-    """Render `nfrags` fragments of V looped oscillator voices with
-    linear amp ramps, mixing to stereo.  Returns int64[2, nfrags*64]."""
-    V = base.shape[0]
-    step = make_farm_step(atlas)
-
-    def body(state, _):
-        ctl = (base, dph, damp, size24, vol, jnp.zeros_like(vol),
-               pan, jnp.zeros_like(pan),
-               jnp.zeros(V, dtype=jnp.int32), 1)
-        return step(state, ctl)
-
-    ph0 = jnp.zeros(V, dtype=jnp.int64)
-    (ph, amp), (l, r) = lax.scan(body, (ph0, amp0), None, length=nfrags)
-    return jnp.stack([l.reshape(-1), r.reshape(-1)])
-
-
-farm_render_jit = jax.jit(farm_render, static_argnames=("nfrags",))
+# (the round-1 "voice farm" multi-fragment scan that lived here was
+# retired with farm.py — the production throughput path is the
+# superblock mixer, tpu/superblock.py)

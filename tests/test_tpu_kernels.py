@@ -68,29 +68,6 @@ def test_panmix_kernel_matches_host(engine):
     assert np.array_equal(np.asarray(r), (vin * (vol + vp)) >> 24)
 
 
-def test_farm_render_runs(engine):
-    from audiality2_tpu.tpu import kernels as K
-    import jax.numpy as jnp
-    i = engine
-    atlas = K.WaveAtlas()
-    w = i.get_wave(i.get(0, "saw"))
-    atlas.add_wave("saw", w)
-    data = atlas.finalize()
-    V = 8
-    base, size = atlas.lookup("saw", 3)
-    dph = p2i(-484777) * w.period >> 3
-    out = K.farm_render_jit(
-        data,
-        jnp.full(V, base, dtype=jnp.int64),
-        jnp.full(V, dph, dtype=jnp.int64),
-        jnp.full(V, w.size[3] << 24, dtype=jnp.int64),
-        4,
-        jnp.full(V, 1 << 24, dtype=jnp.int64),
-        jnp.zeros(V, dtype=jnp.int64),
-        jnp.full(V, 1 << 24, dtype=jnp.int64),
-        jnp.zeros(V, dtype=jnp.int64))
-    assert out.shape == (2, 256)
-    assert int(np.abs(np.asarray(out)).max()) > 0
 
 
 def test_mix_to_buses():
