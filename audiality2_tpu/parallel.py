@@ -35,11 +35,15 @@ import numpy as np
 
 def render_sharded(interface, program, frames, args=(),
                    n_devices=None, bufsize=None, channels=None,
-                   interpret=None):
+                   interpret=None, cache=None):
     """Renders `frames` frames of `program` with oscillator runs
     sharded across a mesh of `n_devices` (default: all JAX devices).
     Returns [channels][frames] int32, bit-exact with the solo device
-    path (and therefore with the C reference on golden content)."""
+    path (and therefore with the C reference on golden content).
+
+    cache: optional dict a caller can pass to reuse compiled shard
+    functions and sticky padding high-water marks across calls (the
+    per-render device STATE never persists — only shapes/compiles)."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import Mesh, PartitionSpec as P
@@ -70,8 +74,11 @@ def render_sharded(interface, program, frames, args=(),
     r._profile(frames, bufsize)
     mixer = r.mixer
 
-    fns = {}                 # signature -> compiled sharded fn
+    if cache is None:
+        cache = {}
+    fns = cache.setdefault("fns", {})   # sig -> compiled sharded fn
     state = {}               # carried replicated device state
+    hw = cache.setdefault("hw", {})     # sticky high-water pads
 
     def init_state(ob):
         K = ob["arr"].shape[1]
@@ -102,26 +109,33 @@ def render_sharded(interface, program, frames, args=(),
                 r.master_channels,
                 inst_map=(prog.inst_of, prog.ninst))
             sprogs.append(sp)
-        # unified per-class NB = pow2(max over shards) — pow2 so the
-        # jit signature stays put as content drifts across
-        # superblocks
+        # unified per-class NB = pow2(max over shards), STICKY via a
+        # render-scoped high-water dict (like DeviceMixer._repad's) —
+        # without stickiness every small content drift flips a pow2
+        # boundary somewhere and the jit retraces per superblock
         nb_u = {}
         for sp in sprogs:
             for c, NB, _ in sp.class_blocks:
                 nb_u[c] = max(nb_u.get(c, 0), NB)
         for c in nb_u:
             if nb_u[c]:
-                nb_u[c] = SB._pow2(nb_u[c], 1)
+                nb_u[c] = hw[("cls", c)] = max(
+                    SB._pow2(nb_u[c], 1), hw.get(("cls", c), 0))
         rows_sig = tuple((c, nb_u.get(c, 0))
                          for c in SB.ALL_CLASSES)
         Rtot_u = sum(NB * SB.OK.RPB for _, NB in rows_sig)
-        Nr_u = SB._pow2(max(max((sp.runmat.shape[0]
-                                 if sp.runmat is not None else 0)
-                                for sp in sprogs), 1), 256)
+        Nr_u = hw["runs"] = max(
+            SB._pow2(max(max((sp.runmat.shape[0]
+                              if sp.runmat is not None else 0)
+                             for sp in sprogs), 1), 256),
+            hw.get("runs", 0))
         ramppad_u = max((sp.rampmat.shape[0] if sp.rampmat
                          is not None else 0) for sp in sprogs)
-        if any(sp.has_ramp for sp in sprogs) or prog.has_ramp:
-            ramppad_u = SB._pow2(max(ramppad_u, 1), 128)
+        if any(sp.has_ramp for sp in sprogs) or prog.has_ramp \
+                or hw.get("rampruns", 0):
+            ramppad_u = hw["rampruns"] = max(
+                SB._pow2(max(ramppad_u, 1), 128),
+                hw.get("rampruns", 0))
         tb_sh = [np.zeros((n_devices, NB), np.int32)
                  for _, NB in rows_sig]
         rm_sh = np.zeros((n_devices, Nr_u, SB.BASE_N), np.int32)

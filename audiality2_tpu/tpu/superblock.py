@@ -269,6 +269,10 @@ def _probes():
                   NOT substitute it into the row fields (isolates
                   the replay's raw compute from its fusion coupling
                   with the downstream int64 row math)
+      nofields    constant kernel params (DCEs the run gather, phase
+                  math and param arithmetic; keeps slot_r + kernel +
+                  scatter — combine with nocls0, whose g[sl] reads
+                  otherwise keep the gather alive)
       nocls0      zero the whole table-less class-0 output (noise
                   LCG replay, dc trajectories, their XLA panmix)
       nocls0pm    keep class-0 audio, skip only its XLA panmix
@@ -1418,7 +1422,7 @@ def _ramp_scan(rmp, base):
     return jnp.stack([o.astype(jnp.int32) for o in outs], axis=-1)
 
 
-_BARRIER_DEFAULT = ""
+_BARRIER_DEFAULT = "ramp"
 
 
 def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
@@ -1557,11 +1561,18 @@ def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
         # downstream fused consumer (kernel param packing, noise
         # inputs), re-evaluating it per consumer — measured ~22 ms of
         # a k2trance superblock's 80 ms (trajonly probe, round 4
-        # pre-fusion)
-        (amp, damp, vol0, dvol, pan0, dpan, dph32, pos32, f32) = \
-            jax.lax.optimization_barrier(
-                (amp, damp, vol0, dvol, pan0, dpan, dph32, pos32,
-                 f32))
+        # pre-fusion).  Gated as barrier token "ramp" (in
+        # _BARRIER_DEFAULT): XLA does not DCE an optimization
+        # barrier's operands, so the barrier also pins the WHOLE
+        # upstream glue live — which both distorts probe attribution
+        # and (post-panmix-fusion, where the duplication pathology is
+        # gone — trajonly measures 0.6 ms) may cost more than it
+        # saves.  A/B with A2_EXPAND_BARRIER= (empty).
+        if "ramp" in _bset or "all" in _bset:
+            (amp, damp, vol0, dvol, pan0, dpan, pos32, f32,
+             dph32) = jax.lax.optimization_barrier(
+                (amp, damp, vol0, dvol, pan0, dpan, pos32, f32,
+                 dph32))
     else:
         use = jnp.zeros_like(alive)
     # noise draws consumed before this row's fragment (RAMP rows get
@@ -1588,6 +1599,11 @@ def _expand_rows(slots, atlas, class_sig, tbase_devs, runmat,
     fields = [pos, f, (dph32 >> 24) * az, (dph32 & 0xFFFFFF) * az,
               amp, damp, vol0, dvol, pan0, dpan, off, end,
               mode, zeros, zeros, zeros]
+    if "nofields" in probe:         # perf diagnosis only
+        # constant params: XLA DCEs the run gather, phase math, and
+        # param arithmetic upstream (keeps slot_r, kernel, scatter)
+        z0 = jnp.broadcast_to(jnp.int32(0), (Rtot,))
+        fields = [z0] * len(fields)
     fields = list(_bar("fields", *fields))
 
     outs = []

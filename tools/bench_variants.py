@@ -5,9 +5,11 @@ single process (one kernel warmup), printing the TRUE ms/superblock
 for each.  Used to pick accumulation strategy / barrier placement on
 real-chip data instead of relay-polluted per-dispatch timings.
 
-Usage: python tools/bench_variants.py "VAR=VAL[,VAR=VAL...]" ... \
+Usage: python tools/bench_variants.py "VAR=VAL[;VAR=VAL...]" ... \
           [--sb 12] [--N 4] [--song k2trance]
 An empty string argument ("") is the baseline (no env overrides).
+KV pairs are separated by ";" (NOT ","): probe values are
+comma-lists themselves (A2_COMPUTE_PROBE=nokernel,noscatter).
 """
 
 import os
@@ -39,7 +41,7 @@ def main(argv):
     for v in variants:
         for k in VARS:
             os.environ.pop(k, None)
-        for kv in filter(None, v.split(",")):
+        for kv in filter(None, v.split(";")):
             k, _, val = kv.partition("=")
             os.environ[k] = val
         print(f"=== variant [{v or 'baseline'}] ===", flush=True)

@@ -39,17 +39,22 @@ def main(song="k2trance", seconds=1.0, samplerate=44100):
         i = a2.open_engine(samplerate, 4096, 1, batched=False)
         prog = i.get(i.load(
             f"/root/reference/benchmark/{song}.a2s"), "Song")
-        # warm: includes the jit compile for this shard count
+        # warm: includes the jit compile for this shard count; the
+        # shared cache carries compiled shard fns + padding
+        # high-water marks into the steady render (per-render device
+        # STATE does not persist), so steady measures execution, not
+        # retracing
+        csh = {}
         t0 = time.perf_counter()
         out = render_sharded(i, prog, frames, n_devices=ndev,
-                             bufsize=bufsize)
+                             bufsize=bufsize, cache=csh)
         twarm = time.perf_counter() - t0
         i2 = a2.open_engine(samplerate, 4096, 1, batched=False)
         prog2 = i2.get(i2.load(
             f"/root/reference/benchmark/{song}.a2s"), "Song")
         t0 = time.perf_counter()
         out2 = render_sharded(i2, prog2, frames, n_devices=ndev,
-                              bufsize=bufsize)
+                              bufsize=bufsize, cache=csh)
         tsteady = time.perf_counter() - t0
         nsb = (frames + bufsize - 1) // bufsize
         per = tsteady / nsb
