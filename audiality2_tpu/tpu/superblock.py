@@ -2815,18 +2815,169 @@ def _accum_sorted():
     return _os.environ.get("A2_ACCUM", "scatter") == "sorted"
 
 
+# ---- packed runmat dispatch format ("rmq", round 5) ----
+# The relay tunnel's TRUE h2d bandwidth (~40-80 MB/s with weather;
+# measured with forced materialization — the put only times the
+# enqueue) binds the device path's steady rate, and the runmat is
+# ~73% of the per-superblock upload.  This format re-encodes the 18
+# int32 base columns in 11 words/run (44 B vs 72 B, a 39% runmat
+# cut):
+#   words 0-3   raw int32: AMP0, DPH, PHLO, SIZE (high-entropy)
+#   word  4     START(22) | OFF(6)<<22 | MODE(4)<<28
+#   word  5     (RIDX+1)(22) | (PHHI+1)(6)<<22
+#   word  6     SLOT(22) | LEN(8)<<22
+#   words 7-10  u16 pairs: indices into per-song sorted value tables
+#               for DAMP,DPAN / PAN0,TOTAL / POSOFF,DVOL / VOL0
+# The tables are finalized from the PROFILE pass (which records the
+# whole deterministic song, so dispatch values are always present;
+# _rmq_pack verifies and raises on any miss, which the renderer
+# absorbs via native bridging).  Field-width caps are checked at
+# finalize; any violation keeps the legacy "rm" layout.
+_RMQ_IDXCOLS = (RC_DAMP, RC_DPAN, RC_PAN0, RC_TOTAL, RC_POSOFF,
+                RC_DVOL, RC_VOL0)
+_RMQ_WORDS = 11
+
+# rampmat leg of the packed format ("rqr"): 8 words vs RR_N=14 —
+#   word 0     BASE(22) | MIP(4)<<22
+#   words 1-3  raw int32: ATMR, PV, DPHRAW
+#   words 4-7  u16 table indices: AT,PT / PTMR,VT / VTMR,PTIMER /
+#              PRAMP,PERIOD
+# PTGT is not shipped: the record pass snapshots ramp state at
+# fragment-0 END where the pitch ramper has always landed
+# (PTIMER == 0), so PTGT == PV — verified song-wide at finalize
+# (any violation keeps the legacy rampmat layout).
+_RQR_IDXCOLS = (RR_AT, RR_PT, RR_PTMR, RR_VT, RR_VTMR, RR_PTIMER,
+                RR_PRAMP, RR_PERIOD)
+_RQR_WORDS = 8
+
+
+def _rmq_pack(rm, tables):
+    """Host-side encode of a padded runmat [Nrp, BASE_N] into the
+    packed (11, Nrp) int32 stream.  Raises ValueError when a value is
+    missing from its table (a stream recorded past the profiled
+    universe — the caller bridges natively)."""
+    u = rm.astype(np.uint32)
+    out = np.empty((_RMQ_WORDS, rm.shape[0]), np.uint32)
+    out[0] = u[:, RC_AMP0]
+    out[1] = u[:, RC_DPH]
+    out[2] = u[:, RC_PHLO]
+    out[3] = u[:, RC_SIZE]
+    out[4] = (u[:, RC_START] | (u[:, RC_OFF] << 22)
+              | (u[:, RC_MODE] << 28))
+    out[5] = (((u[:, RC_RIDX] + 1) & 0x3FFFFF)
+              | ((u[:, RC_PHHI] + 1) << 22))
+    out[6] = u[:, RC_SLOT] | (u[:, RC_LEN] << 22)
+    for w in range(4):
+        half = []
+        for j in (2 * w, 2 * w + 1):
+            if j >= len(_RMQ_IDXCOLS):
+                half.append(np.uint32(0))
+                continue
+            col = rm[:, _RMQ_IDXCOLS[j]]
+            idx = np.searchsorted(tables[j], col)
+            if (idx >= len(tables[j])).any() \
+                    or not np.array_equal(tables[j][idx], col):
+                raise ValueError("rmq: value outside profiled table")
+            half.append(idx.astype(np.uint32))
+        out[7 + w] = half[0] | (half[1] << 16)
+    return out.view(np.int32)
+
+
+def _rqr_pack(rmp, tables):
+    """Host-side encode of a padded rampmat [NrR, RR_N] into the
+    packed (8, NrR) int32 stream (see _RQR_WORDS)."""
+    u = rmp.astype(np.uint32)
+    out = np.empty((_RQR_WORDS, rmp.shape[0]), np.uint32)
+    out[0] = u[:, RR_BASE] | (u[:, RR_MIP] << 22)
+    out[1] = u[:, RR_ATMR]
+    out[2] = u[:, RR_PV]
+    out[3] = u[:, RR_DPHRAW]
+    for w in range(4):
+        half = []
+        for j in (2 * w, 2 * w + 1):
+            col = rmp[:, _RQR_IDXCOLS[j]]
+            idx = np.searchsorted(tables[j], col)
+            if (idx >= len(tables[j])).any() \
+                    or not np.array_equal(tables[j][idx], col):
+                raise ValueError("rqr: value outside profiled table")
+            half.append(idx.astype(np.uint32))
+        out[4 + w] = half[0] | (half[1] << 16)
+    return out.view(np.int32)
+
+
+def _rqr_unpack(pk, tabs):
+    """Device-side decode back to the [NrR, RR_N] rampmat."""
+    def srl(x, n):
+        return jax.lax.shift_right_logical(
+            x, jnp.asarray(n, x.dtype))
+
+    base = pk[0] & 0x3FFFFF
+    mip = srl(pk[0], 22) & 15
+    idx = []
+    for w in range(4):
+        iw = pk[4 + w]
+        idx.append(iw & 0xFFFF)
+        idx.append(srl(iw, 16))
+    (at, pt, ptmr, vt, vtmr, ptimer, pramp,
+     period) = [jnp.take(tabs[j], idx[j])
+                for j in range(len(_RQR_IDXCOLS))]
+    pv = pk[2]
+    # column order = RR_MIP..RR_BASE; PTGT == PV by the finalize
+    # invariant
+    return jnp.stack(
+        [mip, at, pk[1], vt, vtmr, pt, ptmr, pv, pv, ptimer,
+         pramp, pk[3], period, base], axis=1)
+
+
+def _rmq_unpack(pk, tabs):
+    """Device-side decode back to the [Nrp, BASE_N] runmat (pure
+    int32 lane math + 7 gathers from the small tables)."""
+    def srl(x, n):
+        # literal shift counts trace as i64 under x64 mode and
+        # shift_right_logical requires matching dtypes
+        return jax.lax.shift_right_logical(
+            x, jnp.asarray(n, x.dtype))
+
+    w1, w2, w3 = pk[4], pk[5], pk[6]
+    start = w1 & 0x3FFFFF
+    offc = srl(w1, 22) & 63
+    mode = srl(w1, 28) & 15
+    ridx = (w2 & 0x3FFFFF) - 1
+    phhi = (srl(w2, 22) & 63) - 1
+    slot = w3 & 0x3FFFFF
+    lenc = srl(w3, 22) & 255
+    idx = []
+    for w in range(4):
+        iw = pk[7 + w]
+        idx.append(iw & 0xFFFF)
+        idx.append(srl(iw, 16))
+    (damp, dpan, pan0, total, posoff, dvol,
+     vol0) = [jnp.take(tabs[j], idx[j])
+              for j in range(len(_RMQ_IDXCOLS))]
+    # column order = RC_START..RC_RIDX (BASE_N)
+    return jnp.stack(
+        [start, lenc, pk[1], pk[3], posoff, pk[0], damp, vol0,
+         dvol, pan0, dpan, slot, mode, offc, total, phhi, pk[2],
+         ridx], axis=1)
+
+
 def _blob_layout(sig):
     """Static element layout of the one-blob dispatch upload: a map
     name -> (offset, shape) over a flat int32 array, derived from the
     jit signature alone so _dispatch (host fill) and _build_fn
     (device unpack) always agree."""
     (F, ninst, minst, mch, rows_sig, rpad, ns, nsm, ramppad,
-     readback, quality, items) = sig
+     readback, quality, items, rmq) = sig
     ent = []
     for i, (cls, NB) in enumerate(rows_sig):
         ent.append((("tbase", i), (NB,)))
     if rpad:
-        ent.append(("rm", (rpad, BASE_N)))
+        if rmq:
+            ent.append(("rmq", (_RMQ_WORDS, rpad)))
+            for j, sz in enumerate(rmq[0]):
+                ent.append((("rmt", j), (sz,)))
+        else:
+            ent.append(("rm", (rpad, BASE_N)))
         Rtot = sum(NB * OK.RPB for _, NB in rows_sig)
         if Rtot and _accum_sorted():
             # host-precomputed slot-order row permutation (saves the
@@ -2836,7 +2987,12 @@ def _blob_layout(sig):
             # mode
             ent.append(("rowperm", (Rtot,)))
     if ramppad:
-        ent.append(("rmp", (ramppad, RR_N)))
+        if rmq and rmq[1]:
+            ent.append(("rqr", (_RQR_WORDS, ramppad)))
+            for j, sz in enumerate(rmq[1]):
+                ent.append((("rqt", j), (sz,)))
+        else:
+            ent.append(("rmp", (ramppad, RR_N)))
     if ns:
         ent.append(("sa", (ns, 2, FRAG)))
         ent.append(("sas", (ns,)))
@@ -2938,6 +3094,12 @@ class DeviceMixer:
         self._union_stages = {}  # ns -> {stage key -> template}
         self._union_fbd = {}     # ns -> {unit_id -> template dict}
         self._union_filters = {}  # ns -> {filter class key -> {S,K}}
+        # packed-runmat format: None = undecided (collecting), False
+        # = legacy layout, dict = active (tables + sizes)
+        self._rmq = None
+        self._rmq_acc = {"uniq": [[] for _ in _RMQ_IDXCOLS],
+                         "runiq": [[] for _ in _RQR_IDXCOLS],
+                         "max": {}}
         self._fine = False       # exact-fit padding (observe())
         # filter state lives ON DEVICE as one stacked array per
         # (stream, filter class); the dispatch blob carries a lane
@@ -2977,6 +3139,105 @@ class DeviceMixer:
                 "S": fl["arr"].shape[0], "K": fl["arr"].shape[1],
                 "minq": min(fl.get("minq", 1 << 30),
                             old["minq"] if old else 1 << 30)}
+        # packed-runmat profile: per-column value universes + field-
+        # width caps over the PADDED runmat (so the dead-run encoding
+        # is covered too).  Collected per observe, unioned at
+        # finalize (_rmq_finalize).
+        if self._rmq is None and prog.runmat is not None \
+                and prog.runmat.size:
+            rm = prog.runmat
+            acc = self._rmq_acc
+            for j, c in enumerate(_RMQ_IDXCOLS):
+                acc["uniq"][j].append(np.unique(rm[:, c]))
+            mx = acc["max"]
+            mx["rtot"] = max(mx.get("rtot", 0), int(prog.Rtot))
+            for key, col in (("start", RC_START), ("slot", RC_SLOT),
+                             ("len", RC_LEN), ("off", RC_OFF),
+                             ("mode", RC_MODE), ("phhi", RC_PHHI),
+                             ("ridx", RC_RIDX)):
+                v = rm[:, col]
+                mx[key] = max(mx.get(key, 0), int(v.max()))
+                mx[key + "_lo"] = min(mx.get(key + "_lo", 0),
+                                      int(v.min()))
+            rmp = getattr(prog, "rampmat", None)
+            if rmp is not None and rmp.size:
+                for j, c in enumerate(_RQR_IDXCOLS):
+                    acc["runiq"][j].append(np.unique(rmp[:, c]))
+                for key, col in (("rbase", RR_BASE),
+                                 ("rmip", RR_MIP)):
+                    v = rmp[:, col]
+                    mx[key] = max(mx.get(key, 0), int(v.max()))
+                    mx[key + "_lo"] = min(mx.get(key + "_lo", 0),
+                                          int(v.min()))
+                if not np.array_equal(rmp[:, RR_PV],
+                                      rmp[:, RR_PTGT]):
+                    mx["ptgt_ne"] = 1
+                mx["rseen"] = 1
+
+    def _rmq_finalize(self):
+        """Decides the packed-runmat format once per mixer, after the
+        profile pass has observed every superblock: builds the 7
+        sorted per-song value tables and checks every bit-packed
+        field's cap.  Returns the format dict, or False when any cap
+        fails (legacy layout), or when the mixer is fleet-shared
+        (streams joining after finalize could record values outside
+        the tables; the encode-time verify would bridge them, so the
+        conservative gate keeps serving on the legacy layout)."""
+        if _os.environ.get("A2_NO_PACK") \
+                or set(self._hw.keys()) != {0}:
+            # ns != 0 means a fleet-shared mixer (serve._tag_prog):
+            # streams joining after finalize could record values
+            # outside the frozen tables
+            return False
+        acc = self._rmq_acc
+        mx = acc["max"]
+        if not mx:
+            return False
+        ok = (mx.get("rtot", 0) < (1 << 22)
+              and mx.get("start", 0) <= mx.get("rtot", 0)
+              and mx.get("start_lo", 0) >= 0
+              and mx.get("slot", 0) < (1 << 22)
+              and mx.get("slot_lo", 0) >= 0
+              and mx.get("len", 0) <= 255
+              and mx.get("len_lo", 0) >= 0
+              and 0 <= mx.get("off", 0) < 64
+              and mx.get("off_lo", 0) >= 0
+              and 0 <= mx.get("mode", 0) < 16
+              and mx.get("mode_lo", 0) >= 0
+              and -1 <= mx.get("phhi_lo", 0)
+              and mx.get("phhi", 0) < 62
+              and mx.get("ridx", 0) + 1 < (1 << 22)
+              and mx.get("ridx_lo", 0) >= -1)
+        if not ok:
+            return False
+        tables = []
+        for j in range(len(_RMQ_IDXCOLS)):
+            u = np.unique(np.concatenate(
+                acc["uniq"][j] + [np.zeros(1, np.int32)]))
+            if len(u) > 65535:
+                return False
+            tables.append(u.astype(np.int32))
+        # rampmat leg — independent: its cap failures keep only the
+        # rampmat on the legacy layout
+        rtables = None
+        if mx.get("rseen") and not mx.get("ptgt_ne") \
+                and 0 <= mx.get("rbase_lo", 0) \
+                and mx.get("rbase", 0) < (1 << 22) \
+                and 0 <= mx.get("rmip_lo", 0) \
+                and mx.get("rmip", 0) < 16:
+            rtables = []
+            for j in range(len(_RQR_IDXCOLS)):
+                u = np.unique(np.concatenate(
+                    acc["runiq"][j] + [np.zeros(1, np.int32)]))
+                if len(u) > 65535:
+                    rtables = None
+                    break
+                rtables.append(u.astype(np.int32))
+        return {"tables": tables,
+                "sizes": tuple(len(t) for t in tables),
+                "rtables": rtables,
+                "rsizes": (tuple(len(t) for t in rtables)
+                           if rtables else None)}
 
     def _atlas(self):
         pa = self.core._pair_atlas
@@ -3290,6 +3551,10 @@ class DeviceMixer:
         # quality slot: bits 0-3 = interpolator tier, 16 = float
         # stage tier, 32 = mono row expansion (no ROW_STEREO row and
         # no stereo stash anywhere in the song — sticky via _repad)
+        if self._rmq is None and self._fine:
+            # first real signature after the profile pass: decide
+            # the packed-runmat format once (see _rmq_finalize)
+            self._rmq = self._rmq_finalize()
         return (prog.F, prog.ninst, prog.master_inst,
                 prog.master_channels, rows, rpad, ns, nsm,
                 ramppad if prog.has_ramp else 0, self.readback,
@@ -3298,7 +3563,9 @@ class DeviceMixer:
                 + (32 if rpad and not getattr(prog, "rows_stereo",
                                               True)
                    and not _os.environ.get("A2_NO_MONO") else 0),
-                tuple(items))
+                tuple(items),
+                ((self._rmq["sizes"], self._rmq["rsizes"])
+                 if self._rmq else None))
 
     def device_bytes(self, prog):
         """HBM budget for one stream at this program's signature
@@ -3320,7 +3587,7 @@ class DeviceMixer:
         self._repad(prog)
         sig = self._signature(prog)
         (F, ninst, minst, mch, rows_sig, rpad, ns, nsm, ramppad,
-         readback, quality, items) = sig
+         readback, quality, items, rmq) = sig
         persistent = 0
         for t, k, e in items:
             if t == "fbd":
@@ -3334,6 +3601,11 @@ class DeviceMixer:
         execb = (ninst * F + 1) * 2 * FRAG * 4             # slots
         execb += Rtot * (FRAG if quality & 32
                          else 2 * FRAG) * 4                # row audio
+        if rmq:
+            # packed dispatch: the device rebuilds the full runmat
+            execb += rpad * BASE_N * 4
+            if rmq[1]:
+                execb += ramppad * RR_N * 4
         if ramppad:
             execb += (RUN_KCHUNK - 1) * ramppad * 10 * 4   # traj
         execb += ns * 2 * FRAG * 4 + nsm * FRAG * 4        # stash
@@ -3358,7 +3630,7 @@ class DeviceMixer:
         unpack (_build_fn); the multichip dryrun shards it directly
         (__graft_entry__)."""
         (F, ninst, minst, mch, rows_sig, rpad, ns, nsm, ramppad,
-         readback, quality, items) = sig
+         readback, quality, items, rmq) = sig
         stage_float = bool(quality & 16)   # stage tier bit
         mono_rows = bool(quality & 32)     # mono expansion bit
         quality &= 15
@@ -3466,7 +3738,7 @@ class DeviceMixer:
         one execute regardless of program structure."""
         inner = self._build_inner(sig)
         (F, ninst, minst, mch, rows_sig, rpad, ns, nsm, ramppad,
-         readback, quality, items) = sig
+         readback, quality, items, rmq) = sig
         layout, total = _blob_layout(sig)
         nfbd = sum(1 for t, _, _ in items if t == "fbd")
         nperm = sum(e[1] for t, _, e in items if t == "filt")
@@ -3483,13 +3755,27 @@ class DeviceMixer:
             z = jnp.zeros((0,), jnp.int32)
             tbase_devs = [take(blob, ("tbase", i))
                           for i in range(len(rows_sig))]
-            runmat = take(blob, "rm") if rpad \
-                else jnp.zeros((0, BASE_N), jnp.int32)
+            if rpad and rmq:
+                runmat = _rmq_unpack(
+                    take(blob, "rmq"),
+                    [take(blob, ("rmt", j))
+                     for j in range(len(rmq[0]))])
+            elif rpad:
+                runmat = take(blob, "rm")
+            else:
+                runmat = jnp.zeros((0, BASE_N), jnp.int32)
             Rtot_ = sum(NB * OK.RPB for _, NB in rows_sig)
             rowperm = take(blob, "rowperm") \
                 if rpad and Rtot_ and _accum_sorted() else None
-            rampmat = take(blob, "rmp") if ramppad \
-                else jnp.zeros((0, RR_N), jnp.int32)
+            if ramppad and rmq and rmq[1]:
+                rampmat = _rqr_unpack(
+                    take(blob, "rqr"),
+                    [take(blob, ("rqt", j))
+                     for j in range(len(rmq[1]))])
+            elif ramppad:
+                rampmat = take(blob, "rmp")
+            else:
+                rampmat = jnp.zeros((0, RR_N), jnp.int32)
             stash_audio = take(blob, "sa") if ns else z
             stash_slot = take(blob, "sas") if ns else z
             stash_mono = take(blob, "sm") if nsm else z
@@ -3579,7 +3865,7 @@ class DeviceMixer:
         self._jit_fns[sig] = fn
         layout, total = _blob_layout(sig)
         (F, ninst, minst, mch, rows_sig, rpad, ns, nsm, ramppad,
-         readback, quality, items) = sig
+         readback, quality, items, rmq) = sig
         sd = jax.ShapeDtypeStruct
         blob = sd((total,), jnp.int32)
         rings = [sd((2, FBD_TAIL if e[5] else _FBD_BUFSIZE),
@@ -3644,7 +3930,13 @@ class DeviceMixer:
         for i, (_, _, tb) in enumerate(prog.class_blocks):
             put(("tbase", i), tb)
         if prog.runmat is not None and prog.runmat.size:
-            put("rm", prog.runmat)
+            if sig[12]:
+                put("rmq", _rmq_pack(prog.runmat,
+                                     self._rmq["tables"]))
+                for j, t in enumerate(self._rmq["tables"]):
+                    put(("rmt", j), t)
+            else:
+                put("rm", prog.runmat)
             Rtot_ = sum(NB * OK.RPB
                         for _, NB, _ in prog.class_blocks)
             if Rtot_ and _accum_sorted():
@@ -3652,7 +3944,12 @@ class DeviceMixer:
                     prog.runmat, Rtot_, prog.ninst * prog.F))
         rmp = getattr(prog, "rampmat", None)
         if rmp is not None and rmp.size and prog.has_ramp:
-            put("rmp", rmp)
+            if sig[12] and sig[12][1]:
+                put("rqr", _rqr_pack(rmp, self._rmq["rtables"]))
+                for j, t in enumerate(self._rmq["rtables"]):
+                    put(("rqt", j), t)
+            else:
+                put("rmp", rmp)
         if prog.stash_audio is not None and len(prog.stash_audio):
             put("sa", prog.stash_audio)
             put("sas", prog.stash_slot)

@@ -75,7 +75,10 @@ def main(sb_seconds=12.0, N=4, song="k2trance", samplerate=44100,
     sig = mixer._signature(p)
     layout, total = _blob_layout(sig)
     # blob index of run 0's RC_AMP0 (harmless perturbation target)
-    rm_pos = layout["rm"][0] + RC_AMP0
+    # blob index of run 0's RC_AMP0 under either layout (packed rmq
+    # word 0 is the raw AMP0 stream)
+    rm_pos = (layout["rmq"][0] if sig[12]
+              else layout["rm"][0] + RC_AMP0)
 
     # assemble real dispatch inputs once (mirrors _dispatch, but we
     # keep everything as host arrays and upload fresh per rep)
@@ -182,14 +185,25 @@ def _assemble(mixer, prog, sig, layout, total):
     for i2, (_, _, tb) in enumerate(prog.class_blocks):
         put(("tbase", i2), tb)
     if prog.runmat is not None and prog.runmat.size:
-        put("rm", prog.runmat)
+        if sig[12]:
+            put("rmq", SB._rmq_pack(prog.runmat,
+                                    mixer._rmq["tables"]))
+            for j, t in enumerate(mixer._rmq["tables"]):
+                put(("rmt", j), t)
+        else:
+            put("rm", prog.runmat)
         Rtot = sum(NB * SB.OK.RPB for _, NB, _ in prog.class_blocks)
         if Rtot and SB._accum_sorted():
             put("rowperm", SB._host_slot_perm(
                 prog.runmat, Rtot, prog.ninst * prog.F))
     rmp = getattr(prog, "rampmat", None)
     if rmp is not None and rmp.size and prog.has_ramp:
-        put("rmp", rmp)
+        if sig[12] and sig[12][1]:
+            put("rqr", SB._rqr_pack(rmp, mixer._rmq["rtables"]))
+            for j, t in enumerate(mixer._rmq["rtables"]):
+                put(("rqt", j), t)
+        else:
+            put("rmp", rmp)
     if prog.stash_audio is not None and len(prog.stash_audio):
         put("sa", prog.stash_audio)
         put("sas", prog.stash_slot)
