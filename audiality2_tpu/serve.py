@@ -251,6 +251,12 @@ def render_multiplexed(jobs, bufsize=None, readback="exact",
     if profile:
         for s in streams:
             s.r._profile(s.j.frames, bufsize)
+        # the whole fleet has profiled: freeze the packed dispatch
+        # format over the union of every stream's recorded values
+        # (33% smaller uploads on the bandwidth-bound relay; a
+        # post-freeze stream that records novel values bridges
+        # natively via the encode-time verify)
+        mixer.finalize_format()
         # compile every stream's signature up front (shape skeletons
         # only — no data moves): through this deployment's relay a
         # fresh signature costs 30-65 s of remote compile, which must

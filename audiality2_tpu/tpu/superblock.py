@@ -3174,17 +3174,28 @@ class DeviceMixer:
                     mx["ptgt_ne"] = 1
                 mx["rseen"] = 1
 
-    def _rmq_finalize(self):
+    def finalize_format(self):
+        """Explicit packed-format finalize for a fleet-shared mixer
+        whose WHOLE fleet has profiled (serve.render_multiplexed
+        calls this after the per-stream profile loop, before the HBM
+        plan's first _signature): the tables union every profiled
+        stream, so the fleet's own dispatches always hit them.  A
+        stream added after this point that records novel values gets
+        an encode-time verify failure and bridges natively (the
+        serving resilience contract)."""
+        if self._rmq is None and self._fine:
+            self._rmq = self._rmq_finalize(force=True)
+
+    def _rmq_finalize(self, force=False):
         """Decides the packed-runmat format once per mixer, after the
         profile pass has observed every superblock: builds the 7
         sorted per-song value tables and checks every bit-packed
         field's cap.  Returns the format dict, or False when any cap
         fails (legacy layout), or when the mixer is fleet-shared
         (streams joining after finalize could record values outside
-        the tables; the encode-time verify would bridge them, so the
-        conservative gate keeps serving on the legacy layout)."""
+        the tables) — unless force=True (finalize_format)."""
         if _os.environ.get("A2_NO_PACK") \
-                or set(self._hw.keys()) != {0}:
+                or (not force and set(self._hw.keys()) != {0}):
             # ns != 0 means a fleet-shared mixer (serve._tag_prog):
             # streams joining after finalize could record values
             # outside the frozen tables
